@@ -1,0 +1,169 @@
+"""Per-level conditional flow: RRDB conditioning encoder + conditional flow steps + prior.
+
+Behavioral reference: /root/reference/codes/models/modules/ConditionalFlow.py:15-110.
+
+A split-off latent ``a`` (the high-frequency channels removed at a hierarchy level) is
+modeled conditionally on ``u`` (the retained channels, possibly concatenated with
+upsampled deeper-level features):
+
+- conditioning encoder: conv_first -> RRDB trunk0 -> (RRDB trunk1 -> trunk_conv1) +
+  skip; SR mode returns cat(feat1, feat2) (2*nf channels), rescaling mode a single
+  feature level,
+- ``n_flow_step`` conditional FlowSteps on ``a`` with the encoder output as cond,
+- a zero-init conv prior head mapping cond features to (mean, logs).
+
+SR forward accumulates ``logp(mean, logs, z)`` into logdet; SR reverse samples
+``z ~ N(mean, (exp(logs)*eps_std)^2)`` and inverts the steps.  Rescaling mode instead
+whitens ``z`` against the prior (an L2 latent target, ConditionalFlow.py:72-83) — note
+the reference samples with the *clamped* logscale on the rescaling reverse path
+(ConditionalFlow.py:91); we reproduce that.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import densities, nets
+from . import stack
+from .flowstep import FlowStepSpec
+
+
+def _clamp_logscale(scale):
+    return 0.318 * jnp.arctan(2.0 * scale)
+
+
+@dataclasses.dataclass(frozen=True)
+class ConditionalFlowSpec:
+    num_channels: int  # channels entering the split at this level
+    num_channels_split: int  # channels retained (passed on); a has C - split channels
+    n_flow_step: int = 0
+    num_levels_condition: int = 0
+    sr: bool = True  # SR prior (logp) vs rescaling prior (whitening)
+    rrdb_nb: Sequence[int] = (5, 5)
+    rrdb_nf: int = 64
+    rrdb_gc: int = 32
+    flow_permutation: str = "invconv"
+    flow_coupling: str = "Affine"
+    nn_module: str = "FCN"
+    hidden_channels: int = 64
+
+    @property
+    def a_channels(self) -> int:
+        return self.num_channels - self.num_channels_split
+
+    @property
+    def num_features_condition(self) -> int:
+        return 2 if self.sr else 1
+
+    @property
+    def cond_channels(self) -> int:
+        return self.rrdb_nf * self.num_features_condition
+
+    @property
+    def conv_first_in(self) -> int:
+        return self.num_channels_split + self.cond_channels * self.num_levels_condition
+
+    @property
+    def step_spec(self) -> FlowStepSpec:
+        return FlowStepSpec(
+            in_channels=self.a_channels,
+            cond_channels=self.cond_channels,
+            flow_permutation=self.flow_permutation,
+            flow_coupling=self.flow_coupling,
+            nn_module=self.nn_module,
+            hidden_channels=self.hidden_channels,
+        )
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        nf = self.rrdb_nf
+        w_first, b_first = nets.torch_default_conv(k1, (3, 3, self.conv_first_in, nf), dtype)
+        w_trunk, b_trunk = nets.torch_default_conv(k2, (3, 3, nf, nf), dtype)
+        params = {
+            "conv_first": {"w": w_first, "b": b_first},
+            "trunk0": nets.init_rrdb_trunk(k3, self.rrdb_nb[0], nf, self.rrdb_gc, dtype),
+            "trunk1": nets.init_rrdb_trunk(k4, self.rrdb_nb[1], nf, self.rrdb_gc, dtype),
+            "trunk_conv1": {"w": w_trunk, "b": b_trunk},
+            "f": nets.init_conv_zeros(self.cond_channels, self.a_channels * 2, 3, dtype),
+        }
+        if self.n_flow_step > 0:
+            params["steps"] = stack.init_stack(self.step_spec, k5, self.n_flow_step, dtype)
+        return params
+
+    # ------------------------------------------------------------------- encoder
+    def cond_feature(self, params: dict, u: jnp.ndarray) -> jnp.ndarray:
+        first = nets.conv2d(u, params["conv_first"]["w"], params["conv_first"]["b"])
+        if self.sr:
+            feat1 = nets.apply_rrdb_trunk(params["trunk0"], first)
+            feat2 = (
+                nets.conv2d(
+                    nets.apply_rrdb_trunk(params["trunk1"], feat1),
+                    params["trunk_conv1"]["w"],
+                    params["trunk_conv1"]["b"],
+                )
+                + first
+            )
+            return jnp.concatenate([feat1, feat2], axis=-1)
+        feat = nets.apply_rrdb_trunk(params["trunk0"], first)
+        feat = (
+            nets.conv2d(
+                nets.apply_rrdb_trunk(params["trunk1"], feat),
+                params["trunk_conv1"]["w"],
+                params["trunk_conv1"]["b"],
+            )
+            + first
+        )
+        return feat
+
+    def _prior(self, params: dict, cond: jnp.ndarray):
+        h = nets.apply_conv_zeros(params["f"], cond)
+        return h[..., 0::2], h[..., 1::2]  # (mean, logs-or-scale)
+
+    # ------------------------------------------------------------------- forward
+    def forward(self, params: dict, a: jnp.ndarray, u: jnp.ndarray, logdet: jnp.ndarray):
+        """SR: returns (logdet, cond). Rescaling: returns (fake_z, cond)."""
+        cond = self.cond_feature(params, u)
+        z = a
+        if self.n_flow_step > 0:
+            z, logdet = stack.forward_stack(self.step_spec, params["steps"], z, cond, logdet)
+        mean, second = self._prior(params, cond)
+        if self.sr:
+            logdet = logdet + densities.gaussian_logp(mean, second, z)
+            return logdet, cond
+        logscale = _clamp_logscale(second)
+        fake_z = (z - mean) * jnp.exp(-logscale)
+        return fake_z, cond
+
+    # ------------------------------------------------------------------- reverse
+    def reverse(self, params: dict, key: jax.Array, u: jnp.ndarray, eps_std):
+        """Sample a from the conditional prior and invert the steps. Returns (a, cond)."""
+        cond = self.cond_feature(params, u)
+        mean, second = self._prior(params, cond)
+        if self.sr:
+            z = densities.gaussian_sample(key, mean, second, eps_std)
+        else:
+            z = densities.gaussian_sample(key, mean, _clamp_logscale(second), eps_std)
+        if self.n_flow_step > 0:
+            zeros = jnp.zeros((z.shape[0],), z.dtype)
+            z, _ = stack.inverse_stack(self.step_spec, params["steps"], z, cond, zeros)
+        return z, cond
+
+    # --------------------------------------------------------------- calibration
+    def calibrate(self, params: dict, a: jnp.ndarray, u: jnp.ndarray, logdet: jnp.ndarray):
+        new = dict(params)
+        cond = self.cond_feature(params, u)
+        z = a
+        if self.n_flow_step > 0:
+            new["steps"], z, logdet = stack.calibrate_stack(
+                self.step_spec, params["steps"], z, cond, logdet
+            )
+        mean, second = self._prior(params, cond)
+        if self.sr:
+            logdet = logdet + densities.gaussian_logp(mean, second, z)
+            return new, logdet, cond
+        logscale = _clamp_logscale(second)
+        return new, (z - mean) * jnp.exp(-logscale), cond

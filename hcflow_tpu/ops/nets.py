@@ -1,0 +1,236 @@
+"""Non-invertible sub-networks used inside couplings and conditional encoders.
+
+Behavioral reference: /root/reference/codes/models/modules/Basic.py:14-72 (actnorm-
+normalized Conv2d, zero-init Conv2dZeros), Basic.py:329-447 (DenseBlock, FCN,
+ResidualDenseBlock, RRDB) and module_util.py:7-43 (init schemes).
+
+Everything here is a pure ``apply(params, x)`` on NHWC tensors; convolutions use
+HWIO weights and lax.conv_general_dilated so XLA tiles them onto the MXU.  Coupling
+nets end in a zero-initialized conv so each coupling starts as the identity.
+
+FCN's hidden convs carry their own ActNorm (no logdet — they are not on the invertible
+path) whose data-dependent init is exposed via the ``calib_*`` variants.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import actnorm
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(x: jnp.ndarray, w: jnp.ndarray, b=None, stride: int = 1, precision=None) -> jnp.ndarray:
+    """'same'-padded 2D conv, NHWC x HWIO.
+
+    Defaults to HIGHEST precision (true f32 on the MXU): coupling-net outputs feed
+    invertible transforms, where bf16 error would break forward/inverse consistency.
+    Pass precision=None explicitly via functools.partial for throughput experiments.
+    """
+    if precision is None:
+        precision = lax.Precision.HIGHEST
+    kh, kw = w.shape[0], w.shape[1]
+    pad = ((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)
+    y = lax.conv_general_dilated(
+        x, w, (stride, stride), pad, dimension_numbers=_DN, precision=precision
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+# ---------------------------------------------------------------------------- inits
+def _fans(shape):  # HWIO
+    kh, kw, i, o = shape
+    rf = kh * kw
+    return i * rf, o * rf
+
+
+def xavier_normal(key, shape, scale=1.0, dtype=jnp.float32):
+    fan_in, fan_out = _fans(shape)
+    std = math.sqrt(2.0 / (fan_in + fan_out))
+    return jax.random.normal(key, shape, dtype) * (std * scale)
+
+
+def kaiming_normal(key, shape, scale=1.0, dtype=jnp.float32):
+    fan_in, _ = _fans(shape)
+    std = math.sqrt(2.0 / fan_in)
+    return jax.random.normal(key, shape, dtype) * (std * scale)
+
+
+def torch_default_conv(key, shape, dtype=jnp.float32):
+    """PyTorch's default Conv2d init: kaiming_uniform(a=sqrt(5)) => U(+-1/sqrt(fan_in))."""
+    fan_in, _ = _fans(shape)
+    bound = 1.0 / math.sqrt(fan_in)
+    kw, kb = jax.random.split(key)
+    w = jax.random.uniform(kw, shape, dtype, -bound, bound)
+    b = jax.random.uniform(kb, (shape[3],), dtype, -bound, bound)
+    return w, b
+
+
+# ------------------------------------------------------------------- Conv + ActNorm
+def init_conv_actnorm(key, cin, cout, ksize, init="xavier", scale=0.1, dtype=jnp.float32):
+    """Basic.Conv2d with do_actnorm=True (bias-free conv followed by ActNorm)."""
+    shape = (ksize, ksize, cin, cout)
+    if init == "xavier":
+        w = xavier_normal(key, shape, scale, dtype)
+    else:
+        w = kaiming_normal(key, shape, scale, dtype)
+    return {"w": w, "actnorm": actnorm.init(cout, dtype)}
+
+
+def apply_conv_actnorm(params, x):
+    y = conv2d(x, params["w"])
+    y, _ = actnorm.forward(params["actnorm"], y)
+    return y
+
+
+def calib_conv_actnorm(params, x):
+    y = conv2d(x, params["w"])
+    an = actnorm.calibrate(y)
+    y, _ = actnorm.forward(an, y)
+    return {"w": params["w"], "actnorm": an}, y
+
+
+# ----------------------------------------------------------------------- Conv2dZeros
+def init_conv_zeros(cin, cout, ksize=3, dtype=jnp.float32):
+    return {
+        "w": jnp.zeros((ksize, ksize, cin, cout), dtype),
+        "b": jnp.zeros((cout,), dtype),
+        "logs": jnp.zeros((cout,), dtype),
+    }
+
+
+def apply_conv_zeros(params, x, logscale_factor: float = 3.0):
+    y = conv2d(x, params["w"], params["b"])
+    return y * jnp.exp(params["logs"] * logscale_factor)
+
+
+# ------------------------------------------------------------------------------ FCN
+def init_fcn(key, cin, cout, hidden, kernel_hidden=1, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1": init_conv_actnorm(k1, cin, hidden, 3, "xavier", 0.1, dtype),
+        "conv2": init_conv_actnorm(k2, hidden, hidden, kernel_hidden, "xavier", 0.1, dtype),
+        "conv3": init_conv_zeros(hidden, cout, 3, dtype),
+    }
+
+
+def apply_fcn(params, x):
+    x = jax.nn.relu(apply_conv_actnorm(params["conv1"], x))
+    x = jax.nn.relu(apply_conv_actnorm(params["conv2"], x))
+    return apply_conv_zeros(params["conv3"], x)
+
+
+def calib_fcn(params, x):
+    p1, x = calib_conv_actnorm(params["conv1"], x)
+    x = jax.nn.relu(x)
+    p2, x = calib_conv_actnorm(params["conv2"], x)
+    x = jax.nn.relu(x)
+    y = apply_conv_zeros(params["conv3"], x)
+    return {"conv1": p1, "conv2": p2, "conv3": params["conv3"]}, y
+
+
+# ------------------------------------------------------------------------ DenseBlock
+def init_dense_block(key, cin, cout, gc=32, dtype=jnp.float32):
+    """5-conv dense block; conv5 zero-init so the coupling starts as identity."""
+    keys = jax.random.split(key, 4)
+    p = {}
+    for i, k in enumerate(keys):
+        ci = cin + i * gc
+        p[f"conv{i + 1}"] = {
+            "w": xavier_normal(k, (3, 3, ci, gc), 0.1, dtype),
+            "b": jnp.zeros((gc,), dtype),
+        }
+    p["conv5"] = {
+        "w": jnp.zeros((3, 3, cin + 4 * gc, cout), dtype),
+        "b": jnp.zeros((cout,), dtype),
+    }
+    return p
+
+
+def _lrelu(x):
+    return jax.nn.leaky_relu(x, 0.2)
+
+
+def apply_dense_block(params, x):
+    x1 = _lrelu(conv2d(x, params["conv1"]["w"], params["conv1"]["b"]))
+    x2 = _lrelu(conv2d(jnp.concatenate([x, x1], -1), params["conv2"]["w"], params["conv2"]["b"]))
+    x3 = _lrelu(
+        conv2d(jnp.concatenate([x, x1, x2], -1), params["conv3"]["w"], params["conv3"]["b"])
+    )
+    x4 = _lrelu(
+        conv2d(jnp.concatenate([x, x1, x2, x3], -1), params["conv4"]["w"], params["conv4"]["b"])
+    )
+    return conv2d(
+        jnp.concatenate([x, x1, x2, x3, x4], -1), params["conv5"]["w"], params["conv5"]["b"]
+    )
+
+
+# --------------------------------------------------------------- RDB / RRDB encoder
+def init_rdb(key, nf=64, gc=32, dtype=jnp.float32):
+    """ResidualDenseBlock: xavier(0.1) convs, out = conv_stack(x) * 0.2 + x."""
+    keys = jax.random.split(key, 5)
+    p = {}
+    for i in range(4):
+        ci = nf + i * gc
+        p[f"conv{i + 1}"] = {
+            "w": xavier_normal(keys[i], (3, 3, ci, gc), 0.1, dtype),
+            "b": jnp.zeros((gc,), dtype),
+        }
+    p["conv5"] = {
+        "w": xavier_normal(keys[4], (3, 3, nf + 4 * gc, nf), 0.1, dtype),
+        "b": jnp.zeros((nf,), dtype),
+    }
+    return p
+
+
+def apply_rdb(params, x):
+    x1 = _lrelu(conv2d(x, params["conv1"]["w"], params["conv1"]["b"]))
+    x2 = _lrelu(conv2d(jnp.concatenate([x, x1], -1), params["conv2"]["w"], params["conv2"]["b"]))
+    x3 = _lrelu(
+        conv2d(jnp.concatenate([x, x1, x2], -1), params["conv3"]["w"], params["conv3"]["b"])
+    )
+    x4 = _lrelu(
+        conv2d(jnp.concatenate([x, x1, x2, x3], -1), params["conv4"]["w"], params["conv4"]["b"])
+    )
+    x5 = conv2d(
+        jnp.concatenate([x, x1, x2, x3, x4], -1), params["conv5"]["w"], params["conv5"]["b"]
+    )
+    return x5 * 0.2 + x
+
+
+def init_rrdb(key, nf=64, gc=32, dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "rdb1": init_rdb(k1, nf, gc, dtype),
+        "rdb2": init_rdb(k2, nf, gc, dtype),
+        "rdb3": init_rdb(k3, nf, gc, dtype),
+    }
+
+
+def apply_rrdb(params, x):
+    out = apply_rdb(params["rdb1"], x)
+    out = apply_rdb(params["rdb2"], out)
+    out = apply_rdb(params["rdb3"], out)
+    return out * 0.2 + x
+
+
+def init_rrdb_trunk(key, nb, nf=64, gc=32, dtype=jnp.float32):
+    """nb stacked RRDBs with a leading stack axis, executed with lax.scan."""
+    keys = jax.random.split(key, nb)
+    per = [init_rrdb(k, nf, gc, dtype) for k in keys]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *per)
+
+
+def apply_rrdb_trunk(params, x):
+    def body(h, p):
+        return apply_rrdb(p, h), None
+
+    y, _ = lax.scan(body, x, params)
+    return y
