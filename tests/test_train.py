@@ -1,0 +1,118 @@
+"""Trainer tests: the full HCFlow++ pass structure, rescaling joint step, NaN guards."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcflow_tpu.models import HCFlowRescalingSpec, HCFlowSRSpec
+from hcflow_tpu.models.discriminators import VGGDiscriminatorSpec
+from hcflow_tpu.models.vgg import VGG19FeatureSpec
+from hcflow_tpu.train import init_state, make_optimizer
+from hcflow_tpu.train.losses import l1
+from hcflow_tpu.train.schedules import cosine_restart, multistep_restart, schedule_from_opt
+from hcflow_tpu.train.trainer import (
+    make_d_optimizer,
+    make_d_step,
+    make_rescaling_step,
+    make_sr_feagan_step,
+    make_sr_nll_step,
+    make_sr_pixel_step,
+)
+
+TOPT = {
+    "lr_G": 2.5e-4,
+    "max_grad_clip": 5,
+    "max_grad_norm": 100,
+    "beta1": 0.9,
+    "beta2": 0.99,
+    "lr_steps": [100, 200],
+}
+
+
+def tiny_sr_model():
+    return HCFlowSRSpec.for_scale(
+        4, rrdb_nb=(1, 1), rrdb_nf=8, rrdb_gc=4, K=(3, 3), after_splitoff=(1, 1),
+        hidden_channels=8, so_hidden_channels=8,
+    )
+
+
+def test_schedules():
+    s = multistep_restart(1.0, [10, 20], gamma=0.5)
+    assert float(s(0)) == 1.0
+    assert float(s(10)) == 0.5
+    assert float(s(25)) == 0.25
+    s2 = multistep_restart(1.0, [10, 20], gamma=0.5, restarts=[15], restart_weights=[0.5])
+    assert float(s2(16)) == 0.5  # restarted base, milestone 20 not yet passed
+    np.testing.assert_allclose(float(s2(25)), 0.25)  # 0.5 * gamma after milestone 20
+    c = cosine_restart(1.0, [10, 10], eta_min=0.0)
+    np.testing.assert_allclose(float(c(0)), 1.0)
+    np.testing.assert_allclose(float(c(10)), 1.0)  # restart
+    assert float(c(5)) < 1.0
+    assert schedule_from_opt(TOPT) is not None
+
+
+def test_full_plusplus_iteration():
+    """One complete HCFlow++ iteration: nll -> pixel -> fea/gan -> D update."""
+    model = tiny_sr_model()
+    p = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(TOPT, schedule_from_opt(TOPT))
+    state = init_state(p, tx)
+    hr = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    lr = jax.random.uniform(jax.random.PRNGKey(2), (2, 8, 8, 3))
+
+    dspec = VGGDiscriminatorSpec(input_size=32)
+    dstate = init_state(
+        dspec.init(jax.random.PRNGKey(5)),
+        make_d_optimizer({"lr_D": 5e-5}, schedule_from_opt({"lr_G": 5e-5})),
+    )
+    fspec = VGG19FeatureSpec()
+    fp = fspec.init(jax.random.PRNGKey(6))
+
+    dtx = make_d_optimizer({"lr_D": 5e-5}, schedule_from_opt({"lr_G": 5e-5}))
+    k = jax.random.PRNGKey(9)
+    state, m1 = make_sr_nll_step(model, tx)(state, k, hr, lr)
+    assert jnp.isfinite(m1["nll"])
+    state, m2 = make_sr_pixel_step(model, tx, 1.0, l1)(state, k, hr, lr)
+    assert jnp.isfinite(m2["l_g_pix_hr"])
+    fg = make_sr_feagan_step(
+        model, tx, 0.9, gan_type="gan", gan_weight=0.5, fea_weight=0.05,
+        fea_criterion=l1, d_apply=dspec.apply, f_apply=fspec.apply,
+    )
+    state, fake_h, m3 = fg(state, k, hr, lr, dstate.params, fp)
+    assert fake_h.shape == hr.shape
+    assert jnp.isfinite(m3["l_g_gan"]) and jnp.isfinite(m3["l_g_fea"])
+    dstate, m4 = make_d_step(dspec.apply, dtx)(dstate, hr, fake_h)
+    assert jnp.isfinite(m4["l_d_real"]) and jnp.isfinite(m4["l_d_fake"])
+    assert int(state.step) == 1 and int(dstate.step) == 1
+
+
+def test_nan_guard_skips_update():
+    """A non-finite batch must leave params unchanged (apply_if_finite semantics)."""
+    model = tiny_sr_model()
+    p = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(TOPT, schedule_from_opt(TOPT))
+    state = init_state(p, tx)
+    hr = jnp.full((2, 32, 32, 3), jnp.nan)
+    lr = jax.random.uniform(jax.random.PRNGKey(2), (2, 8, 8, 3))
+    before = jax.tree.map(lambda x: x.copy(), state.params)
+    state, m = make_sr_nll_step(model, tx)(state, jax.random.PRNGKey(3), hr, lr)
+    after = state.params
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rescaling_joint_step():
+    model = HCFlowRescalingSpec.default_x4(
+        K=(3, 3), after_splitoff=(1, 1), rrdb_nb=(1, 1), rrdb_nf=8, rrdb_gc=4,
+        hidden_channels=8, so_hidden_channels=8,
+    )
+    p = model.init(jax.random.PRNGKey(7))
+    tx = make_optimizer(TOPT, schedule_from_opt(TOPT))
+    state = init_state(p, tx)
+    hr = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    lr = jax.random.uniform(jax.random.PRNGKey(3), (2, 8, 8, 3))
+    step = make_rescaling_step(model, tx, 5e-2, 1e-5, 1.0)
+    state, m = step(state, jax.random.PRNGKey(9), hr, lr)
+    for v in m.values():
+        assert jnp.isfinite(v)
+    assert int(state.step) == 1
