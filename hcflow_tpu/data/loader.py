@@ -1,0 +1,148 @@
+"""Batch loader: epoch-seeded enlarged-permutation sampling + threaded prefetch.
+
+Behavioral reference: /root/reference/codes/data/data_sampler.py (DistIterSampler with
+dataset enlarged xratio so epoch restarts are rare, deterministic per-epoch
+permutation) and data/__init__.py:7-25 (dataloader construction).
+
+TPU-native replacement for torch DataLoader + DistributedSampler: a host-side numpy
+permutation over an enlarged index space, sliced per process for multi-host training,
+with a small thread pool decoding ahead of the accelerator.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class EnlargedSampler:
+    """Deterministic epoch-seeded permutation of ratio * len(dataset) indices."""
+
+    def __init__(
+        self,
+        num_samples: int,
+        ratio: int = 1,
+        num_replicas: int = 1,
+        rank: int = 0,
+        seed: int = 0,
+    ):
+        self.num_samples = num_samples
+        self.ratio = ratio
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.seed = seed
+        total = int(np.ceil(num_samples * ratio / num_replicas)) * num_replicas
+        self.total_size = total
+        self.per_replica = total // num_replicas
+
+    def indices(self, epoch: int) -> np.ndarray:
+        rng = np.random.default_rng([self.seed, epoch])
+        idx = rng.permutation(self.total_size) % self.num_samples
+        return idx[self.rank : self.total_size : self.num_replicas]
+
+
+def _collate(items):
+    batch = {}
+    for k in items[0]:
+        vals = [it[k] for it in items]
+        if isinstance(vals[0], np.ndarray):
+            batch[k] = np.stack(vals).astype(np.float32)
+        else:
+            batch[k] = vals
+    return batch
+
+
+class DataLoader:
+    """Minimal dataset -> batched-numpy iterator with optional thread prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 0,
+        sampler: Optional[EnlargedSampler] = None,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.sampler = sampler
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+
+    def __len__(self):
+        n = self.sampler.per_replica if self.sampler else len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return int(np.ceil(n / self.batch_size))
+
+    def _index_order(self) -> np.ndarray:
+        if self.sampler is not None:
+            return self.sampler.indices(self.epoch)
+        if self.shuffle:
+            rng = np.random.default_rng([self.seed, self.epoch])
+            return rng.permutation(len(self.dataset))
+        return np.arange(len(self.dataset))
+
+    def __iter__(self) -> Iterator[dict]:
+        order = self._index_order()
+        n_batches = len(self)
+        batches = [
+            order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(n_batches)
+        ]
+        if self.num_workers <= 0:
+            for b in batches:
+                yield _collate([self.dataset[int(i)] for i in b])
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    q.put(_collate([self.dataset[int(i)] for i in b]))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+def create_dataloader(dataset, dataset_opt: dict, sampler=None, num_replicas: int = 1):
+    """Train/val dataloader construction matching data/__init__.py:7-25."""
+    phase = dataset_opt.get("phase", "train")
+    if phase == "train":
+        batch_size = max(dataset_opt.get("batch_size", 16) // num_replicas, 1)
+        return DataLoader(
+            dataset,
+            batch_size=batch_size,
+            shuffle=sampler is None and dataset_opt.get("use_shuffle", True),
+            drop_last=True,
+            num_workers=dataset_opt.get("n_workers", 1),
+            sampler=sampler,
+            seed=dataset_opt.get("seed", 0),
+        )
+    return DataLoader(dataset, batch_size=1, shuffle=False, num_workers=0)
