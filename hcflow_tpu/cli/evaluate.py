@@ -1,0 +1,157 @@
+"""Shared evaluation pipeline: forward NLL, reverse sampling grid, full metric set.
+
+Behavioral reference: /root/reference/codes/test_HCFlow.py:51-240 — per image: forward
+flow NLL + generated LR (LR-consistency check), reverse samples per (heat, n_sample),
+PSNR/SSIM(+Y), LPIPS (when weights are available), bicubic-downscale consistency
+("bicHR"), sample diversity; per-dataset averages.  Metrics are computed on
+uint8-quantized images exactly as the reference does (tensor2img round trip).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..data.imresize import imresize
+from ..data.util import img_to_uint8, save_img
+from ..utils.metrics import calculate_psnr_ssim, diversity
+
+
+def _quantize(img: np.ndarray) -> np.ndarray:
+    return img_to_uint8(img).astype(np.float32) / 255.0
+
+
+class Evaluator:
+    """Runs the full HCFlow eval protocol over a loader of single-image batches."""
+
+    def __init__(
+        self,
+        model_spec,
+        params,
+        heats,
+        n_sample: int = 1,
+        scale: int = 4,
+        crop_border: Optional[int] = None,
+        lpips_fn: Optional[Callable] = None,
+        logger=None,
+        save_dir: Optional[str] = None,
+        suffix: str = "",
+    ):
+        self.model = model_spec
+        self.params = params
+        self.heats = list(heats)
+        self.n_sample = n_sample
+        self.scale = scale
+        self.crop_border = scale if crop_border is None else crop_border
+        self.lpips_fn = lpips_fn
+        self.logger = logger
+        self.save_dir = save_dir
+        self.suffix = suffix
+        self._fwd_cache: Dict = {}
+        self._rev_cache: Dict = {}
+
+    # jit caches keyed by input shape (variable test-time sizes => recompile per size)
+    def _fwd(self, shape):
+        if shape not in self._fwd_cache:
+            self._fwd_cache[shape] = jax.jit(self.model.forward)
+        return self._fwd_cache[shape]
+
+    def _rev(self, shape):
+        if shape not in self._rev_cache:
+            self._rev_cache[shape] = jax.jit(
+                lambda p, k, lr, e: self.model.reverse(p, k, lr, e)
+            )
+        return self._rev_cache[shape]
+
+    def _log(self, msg):
+        if self.logger:
+            self.logger.info(msg)
+
+    def run(self, loader, key: jax.Array, real_image: bool = False) -> dict:
+        per_image = defaultdict(list)
+        idx = 0
+        for batch in loader:
+            idx += 1
+            lr = batch["LQ"]
+            img_path = batch.get("GT_path", batch.get("LQ_path"))[0]
+            img_name = os.path.splitext(os.path.basename(str(img_path)))[0]
+            key, k_fwd = jax.random.split(key)
+
+            nll = 0.0
+            if not real_image and "GT" in batch:
+                hr = batch["GT"]
+                fake_lr, nll_arr = self._fwd(hr.shape)(self.params, k_fwd, hr, lr)
+                nll = float(nll_arr)
+                gt_lr = _quantize(lr[0])
+                sr_lr = _quantize(np.asarray(fake_lr[0]))
+                lr_metrics = calculate_psnr_ssim(gt_lr, sr_lr, 0)
+                per_image["lr_psnr"].append(lr_metrics[0])
+                per_image["lr_ssim"].append(lr_metrics[1])
+                per_image["lr_psnr_y"].append(lr_metrics[2])
+                per_image["lr_ssim_y"].append(lr_metrics[3])
+            per_image["nll"].append(nll)
+
+            for heat in self.heats:
+                sr_imgs = []
+                for sample in range(self.n_sample):
+                    key, k_rev = jax.random.split(key)
+                    sr = self._rev(lr.shape)(self.params, k_rev, lr, float(heat))
+                    sr_img = _quantize(np.asarray(sr[0]))
+                    sr_imgs.append(sr_img)
+                    if self.save_dir:
+                        sfx = f"_{self.suffix}" if self.suffix else ""
+                        save_img(
+                            os.path.join(
+                                self.save_dir, f"SR_{img_name}_{heat:.1f}_{sample}{sfx}.png"
+                            ),
+                            sr_img,
+                        )
+                    if not real_image and "GT" in batch:
+                        gt_img = _quantize(batch["GT"][0])
+                        m = calculate_psnr_ssim(gt_img, sr_img, self.crop_border)
+                        per_image[f"psnr@{heat}"].append(m[0])
+                        per_image[f"ssim@{heat}"].append(m[1])
+                        per_image[f"psnr_y@{heat}"].append(m[2])
+                        per_image[f"ssim_y@{heat}"].append(m[3])
+                        bic_gt = imresize(gt_img, 1 / self.scale)
+                        bic_sr = imresize(sr_img, 1 / self.scale)
+                        bm = calculate_psnr_ssim(bic_gt, bic_sr, 0)
+                        per_image[f"bic_psnr@{heat}"].append(bm[0])
+                        per_image[f"bic_ssim@{heat}"].append(bm[1])
+                        if self.lpips_fn is not None:
+                            per_image[f"lpips@{heat}"].append(
+                                float(self.lpips_fn(gt_img, sr_img))
+                            )
+                if not real_image and "GT" in batch:
+                    per_image[f"diversity@{heat}"].append(diversity(sr_imgs))
+                    self._log(
+                        f"{img_name:20s} heat:{heat:.1f} "
+                        f"PSNR/SSIM/PSNR_Y/SSIM_Y: "
+                        f"{np.mean(per_image[f'psnr@{heat}'][-self.n_sample:]):.2f}/"
+                        f"{np.mean(per_image[f'ssim@{heat}'][-self.n_sample:]):.4f}/"
+                        f"{np.mean(per_image[f'psnr_y@{heat}'][-self.n_sample:]):.2f}/"
+                        f"{np.mean(per_image[f'ssim_y@{heat}'][-self.n_sample:]):.4f}, "
+                        f"NLL: {nll:.4f}"
+                    )
+
+        averages = {k: float(np.mean(v)) for k, v in per_image.items() if v}
+        averages["n_images"] = idx
+        for heat in self.heats:
+            if f"psnr@{heat}" in averages:
+                self._log(
+                    f"---- average ({idx} images, {self.n_sample} samples, heat {heat:.1f}): "
+                    f"PSNR/SSIM/PSNR_Y/SSIM_Y: {averages[f'psnr@{heat}']:.2f}/"
+                    f"{averages[f'ssim@{heat}']:.4f}/{averages[f'psnr_y@{heat}']:.2f}/"
+                    f"{averages[f'ssim_y@{heat}']:.4f}, "
+                    f"bicHR PSNR/SSIM: {averages.get(f'bic_psnr@{heat}', 0):.2f}/"
+                    f"{averages.get(f'bic_ssim@{heat}', 0):.4f}, "
+                    f"LR PSNR/SSIM: {averages.get('lr_psnr', 0):.2f}/"
+                    f"{averages.get('lr_ssim', 0):.4f}, "
+                    f"diversity: {averages.get(f'diversity@{heat}', 0):.4f}, "
+                    f"NLL: {averages.get('nll', 0):.4f}"
+                )
+        return averages

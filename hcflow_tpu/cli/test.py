@@ -1,0 +1,76 @@
+"""Evaluation CLI: ``python -m hcflow_tpu.cli.test --opt <yml>``.
+
+Behavioral reference: /root/reference/codes/test_HCFlow.py — option-file driven
+evaluation over the configured test datasets with the full metric set, saving SR
+images under ``results/<name>/<dataset>/``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from ..data import create_dataloader, create_dataset
+from ..utils import config as config_mod
+from ..utils.checkpoint import load_any
+from ..utils.logging import setup_logger
+from .evaluate import Evaluator
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--opt", required=True, help="path to option YAML file")
+    parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = parser.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    opt = config_mod.parse(args.opt, is_train=False)
+    results_root = opt["path"]["results_root"]
+    os.makedirs(results_root, exist_ok=True)
+    logger = setup_logger("base", opt["path"]["log"])
+    logger.info(f"platform: {jax.devices()[0].platform}, devices: {len(jax.devices())}")
+
+    model_spec = config_mod.model_spec_from_opt(opt)
+
+    ckpt_path = config_mod.opt_get(opt, ["path", "pretrain_model_G"])
+    if ckpt_path and os.path.isfile(ckpt_path):
+        logger.info(f"loading checkpoint {ckpt_path}")
+        params = load_any(ckpt_path, model_spec.flow)
+        if isinstance(params, dict) and "params" in params:
+            params = params["params"]
+    else:
+        logger.warning("no pretrained checkpoint found - using random init")
+        params = model_spec.init(jax.random.PRNGKey(0))
+
+    heats = config_mod.opt_get(opt, ["val", "heats"], [0.0])
+    n_sample = config_mod.opt_get(opt, ["val", "n_sample"], 1)
+    key = jax.random.PRNGKey(config_mod.opt_get(opt, ["val", "seed"], 1))
+
+    all_results = {}
+    for phase, dataset_opt in sorted((opt.get("datasets") or {}).items()):
+        name = dataset_opt.get("name", phase)
+        ds = create_dataset(dataset_opt)
+        loader = create_dataloader(ds, {**dataset_opt, "phase": "test"})
+        logger.info(f"dataset [{name}]: {len(ds)} images")
+        save_dir = os.path.join(results_root, name)
+        evaluator = Evaluator(
+            model_spec,
+            params,
+            heats,
+            n_sample=n_sample,
+            scale=opt.get("scale", 4),
+            lpips_fn=None,
+            logger=logger,
+            save_dir=save_dir,
+            suffix=opt.get("suffix") or "",
+        )
+        real_image = dataset_opt.get("mode") == "LQ"
+        all_results[name] = evaluator.run(loader, key, real_image=real_image)
+    return all_results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,299 @@
+"""Training CLI: ``python -m hcflow_tpu.cli.train --opt <yml>``.
+
+Behavioral reference: /root/reference/codes/train_HCFlow.py plus the trainer logic in
+HCFlow_SR_model.py / HCFlow_Rescaling_model.py:
+
+- ActNorm data-dependent re-initialization every step below ``act_norm_start_step``
+  when training NLL-only (HCFlow_SR_model.py:186-187) — here an explicit calibration
+  pass before the jitted step,
+- G pass structure per iteration: NLL -> (pixel) -> (fea/GAN) -> D, gated by
+  D_update_ratio / D_init_iters,
+- checkpoints every save_checkpoint_freq with keep-2 + every-5000 retention and
+  ``resume_state: auto``,
+- validation every val_freq with the full eval metric grid.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ..data import create_dataloader, create_dataset
+from ..data.loader import EnlargedSampler
+from ..models.discriminators import VGGDiscriminatorSpec
+from ..models.vgg import VGG19FeatureSpec, load_npz
+from ..train import init_state, make_optimizer
+from ..train.losses import pixel_criterion
+from ..train.schedules import schedule_from_opt
+from ..train.trainer import (
+    make_d_optimizer,
+    make_d_step,
+    make_rescaling_step,
+    make_sr_feagan_step,
+    make_sr_nll_step,
+    make_sr_pixel_step,
+)
+from ..utils import config as config_mod
+from ..utils.checkpoint import (
+    latest_checkpoint,
+    load_any,
+    load_checkpoint,
+    prune_checkpoints,
+    save_checkpoint,
+)
+from ..utils.logging import TBWriter, setup_logger
+from .evaluate import Evaluator
+
+opt_get = config_mod.opt_get
+
+
+def build_loaders(opt, seed):
+    train_loader = val_loader = None
+    for phase, dataset_opt in (opt.get("datasets") or {}).items():
+        dataset_opt = dict(dataset_opt, seed=seed)
+        if phase == "train":
+            ds = create_dataset(dataset_opt)
+            sampler = EnlargedSampler(len(ds), ratio=200, seed=seed)
+            train_loader = create_dataloader(ds, dataset_opt, sampler=sampler)
+        elif phase == "val":
+            ds = create_dataset(dict(dataset_opt, phase="val"))
+            val_loader = create_dataloader(ds, dict(dataset_opt, phase="val"))
+    return train_loader, val_loader
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--opt", required=True)
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--max_steps", type=int, default=None, help="override niter")
+    args = parser.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    opt = config_mod.parse(args.opt, is_train=True)
+    train_opt = opt["train"]
+    seed = train_opt.get("manual_seed", 0) or 0
+    paths = opt["path"]
+    for d in (paths["experiments_root"], paths["models"], paths["training_state"]):
+        os.makedirs(d, exist_ok=True)
+    logger = setup_logger("base", paths["log"])
+    tb = TBWriter(
+        os.path.join(paths["root"], "tb_logger", opt.get("name", "exp"))
+        if opt.get("use_tb_logger")
+        else None
+    )
+    logger.info(f"platform: {jax.devices()[0].platform}, devices: {len(jax.devices())}")
+
+    # ------------------------------------------------------------------ model
+    model_spec = config_mod.model_spec_from_opt(opt)
+    is_rescaling = "rescaling" in (opt.get("model") or "").lower()
+    key = jax.random.PRNGKey(seed)
+    key, k_init = jax.random.split(key)
+    params = model_spec.init(k_init)
+
+    pretrain = opt_get(opt, ["path", "pretrain_model_G"])
+    if pretrain and os.path.isfile(pretrain):
+        logger.info(f"loading pretrained G from {pretrain}")
+        loaded = load_any(pretrain, model_spec.flow)
+        params = loaded["params"] if isinstance(loaded, dict) and "params" in loaded else loaded
+
+    # --------------------------------------------------------------- trainers
+    niter = args.max_steps or int(train_opt.get("niter", 100000))
+    schedule = schedule_from_opt(train_opt)
+    tx = make_optimizer(train_opt, schedule)
+    state = init_state(params, tx)
+
+    nll_weight = train_opt.get("nll_weight", 1 if not is_rescaling else 0) or 0
+    pixel_weight_hr = train_opt.get("pixel_weight_hr", 0) or 0
+    fea_weight = train_opt.get("feature_weight", 0) or 0
+    gan_weight = train_opt.get("gan_weight", 0) or 0
+    eps_std_reverse = train_opt.get("eps_std_reverse", 0.9)
+    d_update_ratio = train_opt.get("D_update_ratio", 1) or 1
+    d_init_iters = train_opt.get("D_init_iters", 0) or 0
+    act_norm_start = opt_get(opt, ["network_G", "act_norm_start_step"], 0) or 0
+
+    d_spec = d_state = d_step = None
+    f_params = f_apply = None
+    if gan_weight:
+        gt_size = opt_get(opt, ["datasets", "train", "GT_size"], 160)
+        d_spec = VGGDiscriminatorSpec(input_size=gt_size)
+        key, k_d = jax.random.split(key)
+        d_tx = make_d_optimizer(train_opt, schedule_from_opt({**train_opt, "lr_G": train_opt.get("lr_D", 1e-4)}))
+        d_state = init_state(d_spec.init(k_d), d_tx)
+        d_step = make_d_step(d_spec.apply, d_tx, train_opt.get("gan_type", "gan"))
+    if fea_weight:
+        f_spec = VGG19FeatureSpec()
+        vgg_path = opt_get(opt, ["path", "vgg19_npz"], "weights/vgg19_features.npz")
+        f_params = load_npz(vgg_path)
+        if f_params is None:
+            logger.warning(
+                f"feature_weight={fea_weight} but no VGG weights at {vgg_path}; "
+                "perceptual loss DISABLED (no pretrained download in this environment)"
+            )
+            fea_weight = 0
+        else:
+            f_apply = f_spec.apply
+
+    if is_rescaling:
+        joint_step = make_rescaling_step(
+            model_spec,
+            tx,
+            train_opt.get("pixel_weight_lr", 5e-2),
+            train_opt.get("weight_z", 1e-5),
+            pixel_weight_hr or 1.0,
+            eps_std_reverse=train_opt.get("eps_std_reverse", 1.0),
+            lr_criterion=pixel_criterion(train_opt.get("pixel_criterion_lr", "l2")),
+            hr_criterion=pixel_criterion(train_opt.get("pixel_criterion_hr", "l1")),
+        )
+    else:
+        nll_step = make_sr_nll_step(model_spec, tx, nll_weight)
+        pix_step = (
+            make_sr_pixel_step(
+                model_spec, tx, pixel_weight_hr,
+                pixel_criterion(train_opt.get("pixel_criterion_hr", "l1")),
+            )
+            if pixel_weight_hr
+            else None
+        )
+        fg_step = (
+            make_sr_feagan_step(
+                model_spec, tx, eps_std_reverse,
+                gan_type=train_opt.get("gan_type", "gan"),
+                gan_weight=gan_weight, fea_weight=fea_weight,
+                fea_criterion=pixel_criterion(train_opt.get("feature_criterion", "l1")),
+                d_apply=d_spec.apply if d_spec else None, f_apply=f_apply,
+            )
+            if (gan_weight or fea_weight)
+            else None
+        )
+
+    # ----------------------------------------------------------------- resume
+    start_step = 0
+    if opt_get(opt, ["path", "resume_state"]) == "auto":
+        latest = latest_checkpoint(paths["training_state"], ".state")
+        if latest:
+            logger.info(f"auto-resuming from {latest}")
+            saved = load_checkpoint(latest)
+            state = state.replace(
+                step=jnp.asarray(saved["step"]), params=saved["params"],
+                opt_state=saved["opt_state"],
+            )
+            if d_state is not None and saved.get("d_params") is not None:
+                d_state = d_state.replace(
+                    params=saved["d_params"], opt_state=saved["d_opt_state"]
+                )
+            start_step = int(saved["step"])
+
+    # ------------------------------------------------------------------- data
+    train_loader, val_loader = build_loaders(opt, seed)
+    assert train_loader is not None, "no train dataset configured"
+
+    print_freq = opt_get(opt, ["logger", "print_freq"], 200)
+    save_freq = int(opt_get(opt, ["logger", "save_checkpoint_freq"], 5000))
+    val_freq = int(opt_get(opt, ["train", "val_freq"], 5000))
+    heats = opt_get(opt, ["val", "heats"], [0.0])
+    n_sample = opt_get(opt, ["val", "n_sample"], 1)
+
+    logger.info(f"training from step {start_step} to {niter}")
+    step = start_step
+    epoch = 0
+    t_last = time.time()
+    base_key = jax.random.PRNGKey(seed + 1)
+    nll_only = not (pixel_weight_hr or gan_weight or fea_weight) and not is_rescaling
+
+    while step < niter:
+        train_loader.set_epoch(epoch)
+        for batch in train_loader:
+            if step >= niter:
+                break
+            step += 1
+            hr, lr = jnp.asarray(batch["GT"]), jnp.asarray(batch["LQ"])
+            k = jax.random.fold_in(base_key, step)
+            metrics = {}
+
+            if is_rescaling:
+                state, metrics = joint_step(state, k, hr, lr)
+            else:
+                # actnorm re-initialization window (NLL-only pretraining)
+                if step < act_norm_start and nll_only:
+                    new_params = model_spec.calibrate(state.params, k, hr, lr)
+                    state = state.replace(params=new_params)
+
+                g_turn = (step % d_update_ratio == 0 and step > d_init_iters) or not gan_weight
+                fake_h = None
+                if g_turn:
+                    state, m = nll_step(state, k, hr, lr)
+                    metrics.update(m)
+                    if pix_step is not None:
+                        state, m = pix_step(state, k, hr, lr)
+                        metrics.update(m)
+                    if fg_step is not None:
+                        state, fake_h, m = fg_step(
+                            state, k, hr, lr,
+                            d_state.params if d_state else None, f_params,
+                        )
+                        metrics.update(m)
+                if gan_weight:
+                    if fake_h is None:
+                        fake_h = model_spec.reverse(state.params, k, lr, eps_std_reverse)
+                    d_state, m = d_step(d_state, hr, fake_h)
+                    metrics.update(m)
+
+            if step % print_freq == 0:
+                dt = (time.time() - t_last) / print_freq
+                t_last = time.time()
+                lr_now = float(schedule(step))
+                msg = ", ".join(f"{k_}: {float(v):.4e}" for k_, v in metrics.items())
+                logger.info(f"<epoch:{epoch:3d}, iter:{step:8,d}, lr:{lr_now:.3e}, "
+                            f"{dt:.3f}s/it> {msg}")
+                for k_, v in metrics.items():
+                    tb.add_scalar(k_, float(v), step)
+
+            if step % save_freq == 0:
+                logger.info(f"saving models and training states at step {step}")
+                save_checkpoint(
+                    os.path.join(paths["models"], f"{step}_G.ckpt"),
+                    {"params": state.params, "step": step},
+                )
+                save_checkpoint(
+                    os.path.join(paths["training_state"], f"{step}.state"),
+                    {
+                        "step": step,
+                        "params": state.params,
+                        "opt_state": state.opt_state,
+                        "d_params": d_state.params if d_state else None,
+                        "d_opt_state": d_state.opt_state if d_state else None,
+                        "epoch": epoch,
+                    },
+                )
+                prune_checkpoints(paths["models"], "_G.ckpt", keep=2, keep_period=5000)
+                prune_checkpoints(paths["training_state"], ".state", keep=2, keep_period=5000)
+
+            if val_loader is not None and step % val_freq == 0:
+                evaluator = Evaluator(
+                    model_spec, state.params, heats, n_sample=n_sample,
+                    scale=opt.get("scale", 4), logger=logger,
+                )
+                results = evaluator.run(val_loader, jax.random.fold_in(base_key, niter + step))
+                for k_, v in results.items():
+                    if isinstance(v, float):
+                        tb.add_scalar(f"val/{k_}", v, step)
+        epoch += 1
+
+    logger.info("saving the final model")
+    save_checkpoint(
+        os.path.join(paths["models"], "latest_G.ckpt"),
+        {"params": state.params, "step": step},
+    )
+    tb.close()
+    logger.info("end of training")
+    return state
+
+
+if __name__ == "__main__":
+    main()
