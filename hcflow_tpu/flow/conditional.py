@@ -50,6 +50,7 @@ class ConditionalFlowSpec:
     flow_coupling: str = "Affine"
     nn_module: str = "FCN"
     hidden_channels: int = 64
+    compute_dtype: Optional[str] = None
 
     @property
     def a_channels(self) -> int:
@@ -76,6 +77,7 @@ class ConditionalFlowSpec:
             flow_coupling=self.flow_coupling,
             nn_module=self.nn_module,
             hidden_channels=self.hidden_channels,
+            compute_dtype=self.compute_dtype,
         )
 
     def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
@@ -96,24 +98,29 @@ class ConditionalFlowSpec:
 
     # ------------------------------------------------------------------- encoder
     def cond_feature(self, params: dict, u: jnp.ndarray) -> jnp.ndarray:
-        first = nets.conv2d(u, params["conv_first"]["w"], params["conv_first"]["b"])
+        cd = self.compute_dtype
+        first = nets.conv2d(
+            u, params["conv_first"]["w"], params["conv_first"]["b"], compute_dtype=cd
+        )
         if self.sr:
-            feat1 = nets.apply_rrdb_trunk(params["trunk0"], first)
+            feat1 = nets.apply_rrdb_trunk(params["trunk0"], first, cd)
             feat2 = (
                 nets.conv2d(
-                    nets.apply_rrdb_trunk(params["trunk1"], feat1),
+                    nets.apply_rrdb_trunk(params["trunk1"], feat1, cd),
                     params["trunk_conv1"]["w"],
                     params["trunk_conv1"]["b"],
+                    compute_dtype=cd,
                 )
                 + first
             )
             return jnp.concatenate([feat1, feat2], axis=-1)
-        feat = nets.apply_rrdb_trunk(params["trunk0"], first)
+        feat = nets.apply_rrdb_trunk(params["trunk0"], first, cd)
         feat = (
             nets.conv2d(
-                nets.apply_rrdb_trunk(params["trunk1"], feat),
+                nets.apply_rrdb_trunk(params["trunk1"], feat, cd),
                 params["trunk_conv1"]["w"],
                 params["trunk_conv1"]["b"],
+                compute_dtype=cd,
             )
             + first
         )

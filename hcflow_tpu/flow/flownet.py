@@ -75,6 +75,7 @@ class FlowNetSpec:
     rrdb_nb: Sequence[int] = (5, 5)
     rrdb_nf: int = 64
     rrdb_gc: int = 32
+    compute_dtype: Optional[str] = None  # 'bfloat16' => coupling/encoder nets in bf16
 
     @property
     def levels(self) -> Tuple[LevelSpec, ...]:
@@ -91,6 +92,7 @@ class FlowNetSpec:
                 flow_coupling=self.flow_coupling,
                 nn_module=self.nn_module,
                 hidden_channels=self.hidden_channels,
+                compute_dtype=self.compute_dtype,
             )
             cond = ConditionalFlowSpec(
                 num_channels=c,
@@ -105,6 +107,7 @@ class FlowNetSpec:
                 flow_coupling=self.so_flow_coupling,
                 nn_module=self.so_nn_module,
                 hidden_channels=self.so_hidden_channels,
+                compute_dtype=self.compute_dtype,
             )
             out.append(
                 LevelSpec(
@@ -221,6 +224,38 @@ class FlowNetSpec:
             z, _ = self._main_inverse(lv, params[f"level{i}"]["main"], z, zeros)
             z = self._unsqueeze(z)
         return z
+
+    # --------------------------------------------------------------- inference prep
+    def precompute_inference(self, params: dict) -> dict:
+        """Attach batched invconv inverses/logdets to the params for serving.
+
+        Run once after loading a checkpoint: removes all LU factorizations from the
+        jitted hot path (they otherwise run per reverse/forward call).
+        """
+        from ..ops import invconv as invconv_mod
+
+        new = {}
+        for lv in self.levels:
+            lp = dict(params[f"level{lv.level}"])
+            main = lp["main"]
+            if lv.alternate_lrvsothers:
+                main = [
+                    {**p, "invconv": invconv_mod.precompute(p["invconv"])}
+                    if "invconv" in p
+                    else p
+                    for p in main
+                ]
+            elif lv.n_main > 0 and "invconv" in main:
+                main = stack._augment_invconv(main, need_inv=True, need_logdet=True)
+            lp["main"] = main
+            cond = dict(lp["cond"])
+            if "steps" in cond and "invconv" in cond["steps"]:
+                cond["steps"] = stack._augment_invconv(
+                    cond["steps"], need_inv=True, need_logdet=True
+                )
+            lp["cond"] = cond
+            new[f"level{lv.level}"] = lp
+        return new
 
     # ---------------------------------------------------------------- calibration
     def calibrate(self, params: dict, hr: jnp.ndarray, logdet: jnp.ndarray):

@@ -27,6 +27,7 @@ class FlowStepSpec:
     hidden_channels: int = 64
     lr_vs_others: bool = True
     lu_decomposed: bool = False
+    compute_dtype: Optional[str] = None
 
     @property
     def coupling_spec(self) -> Optional[coupling.CouplingSpec]:
@@ -39,6 +40,7 @@ class FlowStepSpec:
             nn_module=self.nn_module,
             hidden_channels=self.hidden_channels,
             lr_vs_others=self.lr_vs_others,
+            compute_dtype=self.compute_dtype,
         )
 
     def init(self, key: jax.Array, dtype=jnp.float32) -> dict:

@@ -36,8 +36,23 @@ def restack(per_step_list):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *per_step_list)
 
 
+def _augment_invconv(stacked: dict, need_inv: bool, need_logdet: bool) -> dict:
+    """Batch-precompute invconv derived values over the stack axis (one LU for all
+    steps instead of one per scan iteration — TPU LU lowers to serial loops)."""
+    inv = stacked.get("invconv")
+    if inv is None or "weight" not in inv:
+        return stacked
+    aug = dict(inv)
+    if need_logdet and "logdet_w" not in inv:
+        aug["logdet_w"] = jnp.linalg.slogdet(inv["weight"])[1]
+    if need_inv and "w_inv" not in inv:
+        aug["w_inv"] = jnp.linalg.inv(inv["weight"])
+    return {**stacked, "invconv": aug}
+
+
 def forward_stack(spec: FlowStepSpec, stacked: dict, z: jnp.ndarray, u=None, logdet=None):
     """Run all stacked steps forward. logdet must be a (B,) array (not None)."""
+    stacked = _augment_invconv(stacked, need_inv=False, need_logdet=True)
 
     def body(carry, p):
         z, ld = carry
@@ -49,6 +64,8 @@ def forward_stack(spec: FlowStepSpec, stacked: dict, z: jnp.ndarray, u=None, log
 
 
 def inverse_stack(spec: FlowStepSpec, stacked: dict, z: jnp.ndarray, u=None, logdet=None):
+    stacked = _augment_invconv(stacked, need_inv=True, need_logdet=True)
+
     def body(carry, p):
         z, ld = carry
         z, ld = spec.inverse(p, z, u, ld)

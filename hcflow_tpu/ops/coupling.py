@@ -44,6 +44,7 @@ class CouplingSpec:
     nn_module: str = "FCN"
     hidden_channels: int = 64
     lr_vs_others: bool = True  # only for Affine3shift
+    compute_dtype: Optional[str] = None  # 'bfloat16' => fast MXU mode for the net
 
     # ---------------------------------------------------------------- net plumbing
     def _net_init(self, key, cin, cout, dtype):
@@ -55,8 +56,8 @@ class CouplingSpec:
 
     def _net_apply(self, params, x):
         if self.nn_module == "FCN":
-            return nets.apply_fcn(params, x)
-        return nets.apply_dense_block(params, x)
+            return nets.apply_fcn(params, x, self.compute_dtype)
+        return nets.apply_dense_block(params, x, self.compute_dtype)
 
     def _net_calib(self, params, x):
         if self.nn_module == "FCN":

@@ -54,13 +54,30 @@ def _lu_weight(params: dict):
     return l, u
 
 
+def precompute(params: dict) -> dict:
+    """Attach derived inverse weight + logdet (batched over any leading stack axis).
+
+    Moving linalg out of sequential scan bodies matters on TPU: LU factorizations
+    lower to serial loops, so 13 in-scan ``inv`` calls cost far more than one batched
+    call over a (13, C, C) stack — and for serving, attaching these to the params once
+    removes them from the hot path entirely.
+    """
+    if "weight" not in params:
+        return params
+    w = params["weight"]
+    return {**params, "w_inv": jnp.linalg.inv(w), "logdet_w": jnp.linalg.slogdet(w)[1]}
+
+
 def forward(params: dict, x: jnp.ndarray, logdet=None):
     H, W = x.shape[1], x.shape[2]
     if "weight" in params:
         w = params["weight"]
         y = _apply(w, x)
         if logdet is not None:
-            logdet = logdet + jnp.linalg.slogdet(w)[1] * (H * W)
+            ld_w = params.get("logdet_w")
+            if ld_w is None:
+                ld_w = jnp.linalg.slogdet(w)[1]
+            logdet = logdet + ld_w * (H * W)
     else:
         l, u = _lu_weight(params)
         w = params["p"] @ l @ u
@@ -74,10 +91,15 @@ def inverse(params: dict, y: jnp.ndarray, logdet=None):
     H, W = y.shape[1], y.shape[2]
     if "weight" in params:
         w = params["weight"]
-        w_inv = jnp.linalg.inv(w)
+        w_inv = params.get("w_inv")
+        if w_inv is None:
+            w_inv = jnp.linalg.inv(w)
         x = _apply(w_inv, y)
         if logdet is not None:
-            logdet = logdet - jnp.linalg.slogdet(w)[1] * (H * W)
+            ld_w = params.get("logdet_w")
+            if ld_w is None:
+                ld_w = jnp.linalg.slogdet(w)[1]
+            logdet = logdet - ld_w * (H * W)
     else:
         l, u = _lu_weight(params)
         w_inv = jnp.linalg.inv(u) @ jnp.linalg.inv(l) @ jnp.linalg.inv(params["p"])
