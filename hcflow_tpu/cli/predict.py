@@ -1,0 +1,84 @@
+"""Single-image serving shim: ``python -m hcflow_tpu.cli.predict --image x.png``.
+
+Behavioral reference: /root/reference/predict.py (Replicate cog Predictor): two
+preloaded model flavors ('celeb' = CelebA x8, 'general' = DF2K x4), single uploaded
+LR image -> SR PNG.  Here a plain CLI + reusable ``Predictor`` class (no cog):
+models are built from the shipped test configs, the checkpoint is converted/loaded
+once, the reverse pass is jitted once per input shape, and large inputs fall back to
+tiled inference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from ..data.util import modcrop, read_img, save_img
+from ..utils import config as config_mod
+from ..utils.checkpoint import load_any
+from .tiled import tiled_reverse
+
+_CONFIGS = {
+    "general": "configs/test_SR_DF2K_4X_HCFlow.yml",
+    "celeb": "configs/test_SR_CelebA_8X_HCFlow.yml",
+}
+_DEFAULT_HEAT = {"general": 0.9, "celeb": 0.8}
+
+
+class Predictor:
+    def __init__(self, model_type: str = "general", opt_path: str = None,
+                 checkpoint: str = None, repo_root: str = None):
+        root = repo_root or os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+        opt_path = opt_path or os.path.join(root, _CONFIGS[model_type])
+        self.opt = config_mod.parse(opt_path, is_train=False)
+        self.scale = self.opt.get("scale", 4)
+        self.model = config_mod.model_spec_from_opt(self.opt)
+        ckpt = checkpoint or config_mod.opt_get(self.opt, ["path", "pretrain_model_G"])
+        if ckpt and os.path.isfile(ckpt):
+            params = load_any(ckpt, self.model.flow)
+            if isinstance(params, dict) and "params" in params:
+                params = params["params"]
+        else:
+            params = self.model.init(jax.random.PRNGKey(0))
+        self.params = self.model.flow.precompute_inference(params)
+        self.default_heat = _DEFAULT_HEAT.get(model_type, 0.9)
+        self._rev = jax.jit(lambda p, k, x, e: self.model.reverse(p, k, x, e))
+
+    def predict(self, image_path: str, out_path: str = None, heat: float = None,
+                seed: int = 0, max_tile: int = 128) -> str:
+        heat = self.default_heat if heat is None else heat
+        lr = modcrop(read_img(image_path), 2)  # pad factor 2 (predict.py LQ convention)
+        key = jax.random.PRNGKey(seed)
+        if max(lr.shape[:2]) > max_tile:
+            sr = tiled_reverse(self._rev, self.params, key, lr, self.scale, heat,
+                               tile=max_tile, overlap=8)
+        else:
+            sr = np.asarray(self._rev(self.params, key, lr[None], heat)[0])
+        out_path = out_path or (os.path.splitext(image_path)[0] + f"_SR_{heat:.1f}.png")
+        save_img(out_path, sr)
+        return out_path
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--image", required=True)
+    parser.add_argument("--model_type", choices=list(_CONFIGS), default="general")
+    parser.add_argument("--opt", default=None, help="override option file")
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--heat", type=float, default=None)
+    parser.add_argument("--out", default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    pred = Predictor(args.model_type, args.opt, args.checkpoint)
+    out = pred.predict(args.image, args.out, args.heat, args.seed)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

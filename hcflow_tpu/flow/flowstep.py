@@ -14,7 +14,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops import actnorm, coupling, invconv
+from ..ops import actnorm, coupling, invconv, permute
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,6 +49,10 @@ class FlowStepSpec:
         if self.flow_permutation == "invconv":
             ini = invconv.init_lu if self.lu_decomposed else invconv.init
             params["invconv"] = ini(kp, self.in_channels, dtype)
+        elif self.flow_permutation in ("reverse", "shuffle"):
+            params["permute"] = permute.init(
+                self.in_channels, shuffle=self.flow_permutation == "shuffle"
+            )
         cs = self.coupling_spec
         if cs is not None:
             params["coupling"] = cs.init(kc, dtype)
@@ -58,6 +62,8 @@ class FlowStepSpec:
         z, logdet = actnorm.forward(params["actnorm"], z, logdet)
         if "invconv" in params:
             z, logdet = invconv.forward(params["invconv"], z, logdet)
+        elif "permute" in params:
+            z, logdet = permute.forward(params["permute"], z, logdet)
         cs = self.coupling_spec
         if cs is not None:
             z, logdet = cs.forward(params["coupling"], z, u, logdet)
@@ -69,6 +75,8 @@ class FlowStepSpec:
             z, logdet = cs.inverse(params["coupling"], z, u, logdet)
         if "invconv" in params:
             z, logdet = invconv.inverse(params["invconv"], z, logdet)
+        elif "permute" in params:
+            z, logdet = permute.inverse(params["permute"], z, logdet)
         z, logdet = actnorm.inverse(params["actnorm"], z, logdet)
         return z, logdet
 
