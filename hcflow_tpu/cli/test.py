@@ -49,6 +49,15 @@ def main(argv=None):
     n_sample = config_mod.opt_get(opt, ["val", "n_sample"], 1)
     key = jax.random.PRNGKey(config_mod.opt_get(opt, ["val", "seed"], 1))
 
+    # LPIPS (AlexNet) — only when converted weights are available offline
+    from ..models import lpips as lpips_mod
+
+    lpips_path = config_mod.opt_get(opt, ["path", "lpips_npz"], "weights/lpips_alex.npz")
+    lpips_params = lpips_mod.load(lpips_path)
+    lpips_fn = lpips_mod.make_metric(lpips_params) if lpips_params else None
+    if lpips_fn is None:
+        logger.info(f"LPIPS disabled (no weights at {lpips_path})")
+
     all_results = {}
     for phase, dataset_opt in sorted((opt.get("datasets") or {}).items()):
         name = dataset_opt.get("name", phase)
@@ -62,7 +71,7 @@ def main(argv=None):
             heats,
             n_sample=n_sample,
             scale=opt.get("scale", 4),
-            lpips_fn=None,
+            lpips_fn=lpips_fn,
             logger=logger,
             save_dir=save_dir,
             suffix=opt.get("suffix") or "",
