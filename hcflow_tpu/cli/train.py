@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..data import create_dataloader, create_dataset
 from ..data.loader import EnlargedSampler
+from ..parallel import batch_sharding, init_distributed, is_main_process, make_mesh, replicated
 from ..models.discriminators import VGGDiscriminatorSpec
 from ..models.vgg import VGG19FeatureSpec, load_npz
 from ..train import init_state, make_optimizer
@@ -52,13 +53,15 @@ from .evaluate import Evaluator
 opt_get = config_mod.opt_get
 
 
-def build_loaders(opt, seed):
+def build_loaders(opt, seed, num_replicas=1, rank=0):
     train_loader = val_loader = None
     for phase, dataset_opt in (opt.get("datasets") or {}).items():
         dataset_opt = dict(dataset_opt, seed=seed)
         if phase == "train":
             ds = create_dataset(dataset_opt)
-            sampler = EnlargedSampler(len(ds), ratio=200, seed=seed)
+            sampler = EnlargedSampler(
+                len(ds), ratio=200, num_replicas=num_replicas, rank=rank, seed=seed
+            )
             train_loader = create_dataloader(ds, dataset_opt, sampler=sampler)
         elif phase == "val":
             ds = create_dataset(dict(dataset_opt, phase="val"))
@@ -81,13 +84,21 @@ def main(argv=None):
     paths = opt["path"]
     for d in (paths["experiments_root"], paths["models"], paths["training_state"]):
         os.makedirs(d, exist_ok=True)
-    logger = setup_logger("base", paths["log"])
+    # multi-host (DCN) init is a no-op single-host; the device mesh carries DP over ICI
+    proc_rank, proc_count = init_distributed()
+    mesh = make_mesh()
+    data_sh = batch_sharding(mesh)
+    repl_sh = replicated(mesh)
+    logger = setup_logger("base", paths["log"], to_file=is_main_process())
     tb = TBWriter(
         os.path.join(paths["root"], "tb_logger", opt.get("name", "exp"))
         if opt.get("use_tb_logger")
         else None
     )
-    logger.info(f"platform: {jax.devices()[0].platform}, devices: {len(jax.devices())}")
+    logger.info(
+        f"platform: {jax.devices()[0].platform}, devices: {len(jax.devices())}, "
+        f"hosts: {proc_count}, mesh: {mesh.shape}"
+    )
 
     # ------------------------------------------------------------------ model
     model_spec = config_mod.model_spec_from_opt(opt)
@@ -190,8 +201,14 @@ def main(argv=None):
             start_step = int(saved["step"])
 
     # ------------------------------------------------------------------- data
-    train_loader, val_loader = build_loaders(opt, seed)
+    train_loader, val_loader = build_loaders(opt, seed, proc_count, proc_rank)
     assert train_loader is not None, "no train dataset configured"
+
+    # replicate train state over the mesh; batches get sharded per step
+    state = jax.device_put(state, repl_sh)
+    if d_state is not None:
+        d_state = jax.device_put(d_state, repl_sh)
+    n_dev = mesh.devices.size
 
     print_freq = opt_get(opt, ["logger", "print_freq"], 200)
     save_freq = int(opt_get(opt, ["logger", "save_checkpoint_freq"], 5000))
@@ -212,7 +229,12 @@ def main(argv=None):
             if step >= niter:
                 break
             step += 1
-            hr, lr = jnp.asarray(batch["GT"]), jnp.asarray(batch["LQ"])
+            hr, lr = batch["GT"], batch["LQ"]
+            if hr.shape[0] % n_dev == 0:
+                hr = jax.device_put(hr, data_sh)
+                lr = jax.device_put(lr, data_sh)
+            else:  # ragged tail batch: replicate (correct, just not sharded)
+                hr, lr = jnp.asarray(hr), jnp.asarray(lr)
             k = jax.random.fold_in(base_key, step)
             metrics = {}
 
@@ -254,7 +276,7 @@ def main(argv=None):
                 for k_, v in metrics.items():
                     tb.add_scalar(k_, float(v), step)
 
-            if step % save_freq == 0:
+            if step % save_freq == 0 and is_main_process():
                 logger.info(f"saving models and training states at step {step}")
                 save_checkpoint(
                     os.path.join(paths["models"], f"{step}_G.ckpt"),

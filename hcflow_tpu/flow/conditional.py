@@ -130,13 +130,22 @@ class ConditionalFlowSpec:
         h = nets.apply_conv_zeros(params["f"], cond)
         return h[..., 0::2], h[..., 1::2]  # (mean, logs-or-scale)
 
+    def _run_steps(self, params, z, cond, logdet, inverse: bool):
+        """Dispatch to the hoisted fast path when the coupling supports it."""
+        ss = self.step_spec
+        if ss.coupling_spec is not None and ss.coupling_spec.supports_hoisting:
+            fn = stack.inverse_stack_hoisted if inverse else stack.forward_stack_hoisted
+        else:
+            fn = stack.inverse_stack if inverse else stack.forward_stack
+        return fn(ss, params["steps"], z, cond, logdet)
+
     # ------------------------------------------------------------------- forward
     def forward(self, params: dict, a: jnp.ndarray, u: jnp.ndarray, logdet: jnp.ndarray):
         """SR: returns (logdet, cond). Rescaling: returns (fake_z, cond)."""
         cond = self.cond_feature(params, u)
         z = a
         if self.n_flow_step > 0:
-            z, logdet = stack.forward_stack(self.step_spec, params["steps"], z, cond, logdet)
+            z, logdet = self._run_steps(params, z, cond, logdet, inverse=False)
         mean, second = self._prior(params, cond)
         if self.sr:
             logdet = logdet + densities.gaussian_logp(mean, second, z)
@@ -156,7 +165,7 @@ class ConditionalFlowSpec:
             z = densities.gaussian_sample(key, mean, _clamp_logscale(second), eps_std)
         if self.n_flow_step > 0:
             zeros = jnp.zeros((z.shape[0],), z.dtype)
-            z, _ = stack.inverse_stack(self.step_spec, params["steps"], z, cond, zeros)
+            z, _ = self._run_steps(params, z, cond, zeros, inverse=True)
         return z, cond
 
     # --------------------------------------------------------------- calibration

@@ -80,6 +80,25 @@ class FlowStepSpec:
         z, logdet = actnorm.inverse(params["actnorm"], z, logdet)
         return z, logdet
 
+    def forward_hoisted(self, params: dict, z: jnp.ndarray, u_contrib, logdet=None):
+        """Forward with the coupling's cond contribution precomputed (see stack.py)."""
+        z, logdet = actnorm.forward(params["actnorm"], z, logdet)
+        if "invconv" in params:
+            z, logdet = invconv.forward(params["invconv"], z, logdet)
+        elif "permute" in params:
+            z, logdet = permute.forward(params["permute"], z, logdet)
+        z, logdet = self.coupling_spec.forward_hoisted(params["coupling"], z, u_contrib, logdet)
+        return z, logdet
+
+    def inverse_hoisted(self, params: dict, z: jnp.ndarray, u_contrib, logdet=None):
+        z, logdet = self.coupling_spec.inverse_hoisted(params["coupling"], z, u_contrib, logdet)
+        if "invconv" in params:
+            z, logdet = invconv.inverse(params["invconv"], z, logdet)
+        elif "permute" in params:
+            z, logdet = permute.inverse(params["permute"], z, logdet)
+        z, logdet = actnorm.inverse(params["actnorm"], z, logdet)
+        return z, logdet
+
     def calibrate(self, params: dict, z: jnp.ndarray, u=None, logdet=None):
         """Data-dependent-init forward pass (flow actnorm + coupling-net actnorms)."""
         new = dict(params)

@@ -75,6 +75,57 @@ def inverse_stack(spec: FlowStepSpec, stacked: dict, z: jnp.ndarray, u=None, log
     return z, logdet
 
 
+def compute_u_contribs(spec: FlowStepSpec, stacked: dict, u: jnp.ndarray) -> jnp.ndarray:
+    """Precompute all K steps' conv1 cond-contributions as ONE wide conv.
+
+    The per-step coupling conv1 sees cat(z1, u) where u (the cond features, e.g. 128
+    channels) dwarfs z1 (3-10 channels).  Since u is identical for every step and
+    conv1 is linear and bias-free, all K contributions are one conv with the K
+    weight slices concatenated along the output axis — a single large MXU matmul
+    instead of K sequential narrow ones inside the scan.
+
+    Returns (K, B, H, W, hidden) to be scanned alongside the stacked params.
+    """
+    from ..ops import nets
+
+    w = stacked["coupling"]["f"]["conv1"]["w"]  # (K, kh, kw, fin, hidden)
+    K, kh, kw, fin, hidden = w.shape
+    cond = spec.cond_channels
+    w_u = w[:, :, :, fin - cond :, :]  # (K, kh, kw, cond, hidden)
+    w_wide = jnp.transpose(w_u, (1, 2, 3, 0, 4)).reshape(kh, kw, cond, K * hidden)
+    uc = nets.conv2d(u, w_wide, compute_dtype=spec.compute_dtype)  # (B, H, W, K*hidden)
+    B, H, W, _ = uc.shape
+    return jnp.transpose(uc.reshape(B, H, W, K, hidden), (3, 0, 1, 2, 4))
+
+
+def forward_stack_hoisted(spec: FlowStepSpec, stacked: dict, z, u, logdet):
+    stacked = _augment_invconv(stacked, need_inv=False, need_logdet=True)
+    u_contribs = compute_u_contribs(spec, stacked, u)
+
+    def body(carry, inp):
+        p, uc = inp
+        z, ld = carry
+        z, ld = spec.forward_hoisted(p, z, uc, ld)
+        return (z, ld), None
+
+    (z, logdet), _ = lax.scan(body, (z, logdet), (stacked, u_contribs))
+    return z, logdet
+
+
+def inverse_stack_hoisted(spec: FlowStepSpec, stacked: dict, z, u, logdet):
+    stacked = _augment_invconv(stacked, need_inv=True, need_logdet=True)
+    u_contribs = compute_u_contribs(spec, stacked, u)
+
+    def body(carry, inp):
+        p, uc = inp
+        z, ld = carry
+        z, ld = spec.inverse_hoisted(p, z, uc, ld)
+        return (z, ld), None
+
+    (z, logdet), _ = lax.scan(body, (z, logdet), (stacked, u_contribs), reverse=True)
+    return z, logdet
+
+
 def calibrate_stack(
     spec: FlowStepSpec, stacked: dict, z: jnp.ndarray, u=None, logdet: Optional[jnp.ndarray] = None
 ):

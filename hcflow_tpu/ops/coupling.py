@@ -185,6 +185,32 @@ class CouplingSpec:
 
         raise ValueError(f"unknown coupling kind {self.kind}")
 
+    # ------------------------------------------------- hoisted-cond fast path
+    @property
+    def supports_hoisting(self) -> bool:
+        """The cond contribution to conv1 can be precomputed outside a step scan."""
+        return bool(self.kind == "Affine" and self.nn_module == "FCN" and self.cond_channels)
+
+    def forward_hoisted(self, params: dict, z: jnp.ndarray, u_contrib, logdet=None):
+        z1, z2 = self._halves(z)
+        h = nets.apply_fcn_hoisted(params["f"], z1, u_contrib, self.compute_dtype)
+        shift, scale = _cross_split(h)
+        logscale = _clamp_logscale(scale)
+        z2 = (z2 + shift) * jnp.exp(logscale)
+        if logdet is not None:
+            logdet = logdet + jnp.sum(logscale, axis=(1, 2, 3))
+        return jnp.concatenate([z1, z2], -1), logdet
+
+    def inverse_hoisted(self, params: dict, z: jnp.ndarray, u_contrib, logdet=None):
+        z1, z2 = self._halves(z)
+        h = nets.apply_fcn_hoisted(params["f"], z1, u_contrib, self.compute_dtype)
+        shift, scale = _cross_split(h)
+        logscale = _clamp_logscale(scale)
+        z2 = z2 * jnp.exp(-logscale) - shift
+        if logdet is not None:
+            logdet = logdet - jnp.sum(logscale, axis=(1, 2, 3))
+        return jnp.concatenate([z1, z2], -1), logdet
+
     # ---------------------------------------------------------------- calibration
     def calibrate(self, params: dict, z: jnp.ndarray, u=None, logdet=None):
         """Forward pass that also data-initializes the coupling net's ActNorms."""

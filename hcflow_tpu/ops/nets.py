@@ -145,6 +145,24 @@ def apply_fcn(params, x, compute_dtype=None):
     return apply_conv_zeros(params["conv3"], x)
 
 
+def apply_fcn_hoisted(params, z1, u_contrib, compute_dtype=None):
+    """FCN where the conditioning channels' conv1 contribution is precomputed.
+
+    conv1 is linear in its input, so conv1(cat(z1, u)) = conv1_z(z1) + conv1_u(u).
+    When the same cond features u feed K sequential flow steps, all K u-contributions
+    are computed as ONE wide conv outside the scan (see flow/stack.py) and passed in
+    here; only the narrow z1 part runs inside the scan.  conv1 has no bias
+    (do_actnorm=True), so the split is exact.
+    """
+    zc = z1.shape[-1]
+    w_z = params["conv1"]["w"][:, :, :zc, :]
+    h = conv2d(z1, w_z, compute_dtype=compute_dtype) + u_contrib
+    h, _ = actnorm.forward(params["conv1"]["actnorm"], h)
+    h = jax.nn.relu(h)
+    h = jax.nn.relu(apply_conv_actnorm(params["conv2"], h, compute_dtype))
+    return apply_conv_zeros(params["conv3"], h)
+
+
 def calib_fcn(params, x):
     p1, x = calib_conv_actnorm(params["conv1"], x)
     x = jax.nn.relu(x)

@@ -150,3 +150,21 @@ def test_hcflow_sr_grad_flows():
     assert all(jnp.all(jnp.isfinite(x)) for x in flat)
     # at least the prior head and actnorms receive gradient
     assert any(float(jnp.max(jnp.abs(x))) > 0 for x in flat)
+
+
+def test_hoisted_cond_steps_match_plain():
+    """The hoisted-cond scan (one wide conv) must equal the per-step path."""
+    spec = FlowStepSpec(in_channels=6, cond_channels=16, hidden_channels=8)
+    stacked = stack.init_stack(spec, KEY, 4)
+    stacked = _randomized(stacked, jax.random.PRNGKey(1))
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 6))
+    u = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 16))
+    ld = jnp.zeros((2,))
+    y_a, ld_a = stack.forward_stack(spec, stacked, z, u, ld)
+    y_b, ld_b = stack.forward_stack_hoisted(spec, stacked, z, u, ld)
+    np.testing.assert_allclose(np.asarray(y_b), np.asarray(y_a), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld_b), np.asarray(ld_a), rtol=1e-5, atol=1e-4)
+    x_a, _ = stack.inverse_stack(spec, stacked, y_a, u, ld)
+    x_b, _ = stack.inverse_stack_hoisted(spec, stacked, y_a, u, ld)
+    np.testing.assert_allclose(np.asarray(x_b), np.asarray(x_a), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x_b), np.asarray(z), rtol=1e-4, atol=1e-4)
