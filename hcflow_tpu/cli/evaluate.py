@@ -40,6 +40,7 @@ class Evaluator:
         logger=None,
         save_dir: Optional[str] = None,
         suffix: str = "",
+        rescaling: bool = False,
     ):
         self.model = model_spec
         self.params = params
@@ -51,6 +52,7 @@ class Evaluator:
         self.logger = logger
         self.save_dir = save_dir
         self.suffix = suffix
+        self.rescaling = rescaling
         self._fwd_cache: Dict = {}
         self._rev_cache: Dict = {}
 
@@ -82,10 +84,19 @@ class Evaluator:
             key, k_fwd = jax.random.split(key)
 
             nll = 0.0
+            reverse_input = lr
             if not real_image and "GT" in batch:
                 hr = batch["GT"]
-                fake_lr, nll_arr = self._fwd(hr.shape)(self.params, k_fwd, hr, lr)
-                nll = float(nll_arr)
+                if self.rescaling:
+                    # rescaling protocol (HCFlow_Rescaling_model.test): downscale with
+                    # the model, quantize, and reconstruct HR from THAT generated LR
+                    fake_lr, fake_zs = self._fwd(hr.shape)(self.params, hr)
+                    nll = float(jax.numpy.mean(fake_zs[0]))  # reference logs z1.mean()
+                    fake_lr_q = _quantize(np.asarray(fake_lr[0]))[None]
+                    reverse_input = fake_lr_q.astype(np.float32)
+                else:
+                    fake_lr, nll_arr = self._fwd(hr.shape)(self.params, k_fwd, hr, lr)
+                    nll = float(nll_arr)
                 gt_lr = _quantize(lr[0])
                 sr_lr = _quantize(np.asarray(fake_lr[0]))
                 lr_metrics = calculate_psnr_ssim(gt_lr, sr_lr, 0)
@@ -99,7 +110,9 @@ class Evaluator:
                 sr_imgs = []
                 for sample in range(self.n_sample):
                     key, k_rev = jax.random.split(key)
-                    sr = self._rev(lr.shape)(self.params, k_rev, lr, float(heat))
+                    sr = self._rev(reverse_input.shape)(
+                        self.params, k_rev, reverse_input, float(heat)
+                    )
                     sr_img = _quantize(np.asarray(sr[0]))
                     sr_imgs.append(sr_img)
                     if self.save_dir:

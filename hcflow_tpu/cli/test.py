@@ -75,6 +75,7 @@ def main(argv=None):
             logger=logger,
             save_dir=save_dir,
             suffix=opt.get("suffix") or "",
+            rescaling="rescaling" in (opt.get("model") or "").lower(),
         )
         real_image = dataset_opt.get("mode") == "LQ"
         all_results[name] = evaluator.run(loader, key, real_image=real_image)

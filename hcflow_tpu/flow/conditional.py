@@ -51,6 +51,8 @@ class ConditionalFlowSpec:
     nn_module: str = "FCN"
     hidden_channels: int = 64
     compute_dtype: Optional[str] = None
+    scan_unroll: int = 1
+    remat_steps: bool = False
 
     @property
     def a_channels(self) -> int:
@@ -137,7 +139,8 @@ class ConditionalFlowSpec:
             fn = stack.inverse_stack_hoisted if inverse else stack.forward_stack_hoisted
         else:
             fn = stack.inverse_stack if inverse else stack.forward_stack
-        return fn(ss, params["steps"], z, cond, logdet)
+        return fn(ss, params["steps"], z, cond, logdet,
+                  unroll=self.scan_unroll, remat=self.remat_steps)
 
     # ------------------------------------------------------------------- forward
     def forward(self, params: dict, a: jnp.ndarray, u: jnp.ndarray, logdet: jnp.ndarray):

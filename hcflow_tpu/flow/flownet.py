@@ -76,6 +76,8 @@ class FlowNetSpec:
     rrdb_nf: int = 64
     rrdb_gc: int = 32
     compute_dtype: Optional[str] = None  # 'bfloat16' => coupling/encoder nets in bf16
+    scan_unroll: int = 1  # unroll factor for step scans (XLA cross-step fusion)
+    remat_steps: bool = False  # rematerialize step scans on backward (memory)
 
     @property
     def levels(self) -> Tuple[LevelSpec, ...]:
@@ -108,6 +110,8 @@ class FlowNetSpec:
                 nn_module=self.so_nn_module,
                 hidden_channels=self.so_hidden_channels,
                 compute_dtype=self.compute_dtype,
+                scan_unroll=self.scan_unroll,
+                remat_steps=self.remat_steps,
             )
             out.append(
                 LevelSpec(
@@ -160,7 +164,8 @@ class FlowNetSpec:
             for k in range(lv.n_main):
                 z, logdet = lv.main_step_spec(k).forward(main_params[k], z, None, logdet)
             return z, logdet
-        return stack.forward_stack(lv.main_spec, main_params, z, None, logdet)
+        return stack.forward_stack(lv.main_spec, main_params, z, None, logdet,
+                                   unroll=self.scan_unroll, remat=self.remat_steps)
 
     def _main_inverse(self, lv: LevelSpec, main_params, z, logdet):
         if lv.n_main == 0:
@@ -169,7 +174,8 @@ class FlowNetSpec:
             for k in reversed(range(lv.n_main)):
                 z, logdet = lv.main_step_spec(k).inverse(main_params[k], z, None, logdet)
             return z, logdet
-        return stack.inverse_stack(lv.main_spec, main_params, z, None, logdet)
+        return stack.inverse_stack(lv.main_spec, main_params, z, None, logdet,
+                                   unroll=self.scan_unroll, remat=self.remat_steps)
 
     def _cond_input(self, i: int, y_i, cond_feats):
         """cat(y_i, up_2(cf_{i+1}), up_4(cf_{i+2}), ...)."""

@@ -50,28 +50,41 @@ def _augment_invconv(stacked: dict, need_inv: bool, need_logdet: bool) -> dict:
     return {**stacked, "invconv": aug}
 
 
-def forward_stack(spec: FlowStepSpec, stacked: dict, z: jnp.ndarray, u=None, logdet=None):
-    """Run all stacked steps forward. logdet must be a (B,) array (not None)."""
+def _maybe_remat(fn, remat: bool):
+    return jax.checkpoint(fn) if remat else fn
+
+
+def forward_stack(spec: FlowStepSpec, stacked: dict, z: jnp.ndarray, u=None, logdet=None,
+                  unroll: int = 1, remat: bool = False):
+    """Run all stacked steps forward. logdet must be a (B,) array (not None).
+
+    unroll > 1 lets XLA fuse across steps (the per-step work is small after cond
+    hoisting); remat=True rematerializes each step on the backward pass (memory for
+    160px training).
+    """
     stacked = _augment_invconv(stacked, need_inv=False, need_logdet=True)
 
+    @lambda f: _maybe_remat(f, remat)
     def body(carry, p):
         z, ld = carry
         z, ld = spec.forward(p, z, u, ld)
         return (z, ld), None
 
-    (z, logdet), _ = lax.scan(body, (z, logdet), stacked)
+    (z, logdet), _ = lax.scan(body, (z, logdet), stacked, unroll=unroll)
     return z, logdet
 
 
-def inverse_stack(spec: FlowStepSpec, stacked: dict, z: jnp.ndarray, u=None, logdet=None):
+def inverse_stack(spec: FlowStepSpec, stacked: dict, z: jnp.ndarray, u=None, logdet=None,
+                  unroll: int = 1, remat: bool = False):
     stacked = _augment_invconv(stacked, need_inv=True, need_logdet=True)
 
+    @lambda f: _maybe_remat(f, remat)
     def body(carry, p):
         z, ld = carry
         z, ld = spec.inverse(p, z, u, ld)
         return (z, ld), None
 
-    (z, logdet), _ = lax.scan(body, (z, logdet), stacked, reverse=True)
+    (z, logdet), _ = lax.scan(body, (z, logdet), stacked, reverse=True, unroll=unroll)
     return z, logdet
 
 
@@ -98,31 +111,36 @@ def compute_u_contribs(spec: FlowStepSpec, stacked: dict, u: jnp.ndarray) -> jnp
     return jnp.transpose(uc.reshape(B, H, W, K, hidden), (3, 0, 1, 2, 4))
 
 
-def forward_stack_hoisted(spec: FlowStepSpec, stacked: dict, z, u, logdet):
+def forward_stack_hoisted(spec: FlowStepSpec, stacked: dict, z, u, logdet,
+                          unroll: int = 1, remat: bool = False):
     stacked = _augment_invconv(stacked, need_inv=False, need_logdet=True)
     u_contribs = compute_u_contribs(spec, stacked, u)
 
+    @lambda f: _maybe_remat(f, remat)
     def body(carry, inp):
         p, uc = inp
         z, ld = carry
         z, ld = spec.forward_hoisted(p, z, uc, ld)
         return (z, ld), None
 
-    (z, logdet), _ = lax.scan(body, (z, logdet), (stacked, u_contribs))
+    (z, logdet), _ = lax.scan(body, (z, logdet), (stacked, u_contribs), unroll=unroll)
     return z, logdet
 
 
-def inverse_stack_hoisted(spec: FlowStepSpec, stacked: dict, z, u, logdet):
+def inverse_stack_hoisted(spec: FlowStepSpec, stacked: dict, z, u, logdet,
+                          unroll: int = 1, remat: bool = False):
     stacked = _augment_invconv(stacked, need_inv=True, need_logdet=True)
     u_contribs = compute_u_contribs(spec, stacked, u)
 
+    @lambda f: _maybe_remat(f, remat)
     def body(carry, inp):
         p, uc = inp
         z, ld = carry
         z, ld = spec.inverse_hoisted(p, z, uc, ld)
         return (z, ld), None
 
-    (z, logdet), _ = lax.scan(body, (z, logdet), (stacked, u_contribs), reverse=True)
+    (z, logdet), _ = lax.scan(body, (z, logdet), (stacked, u_contribs), reverse=True,
+                              unroll=unroll)
     return z, logdet
 
 
