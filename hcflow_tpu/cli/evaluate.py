@@ -69,6 +69,20 @@ class Evaluator:
             )
         return self._rev_cache[shape]
 
+    def _rev_multi(self, shape):
+        """Reverse with one key per batch element (sample grid batched together)."""
+        cache_key = ("multi", shape)
+        if cache_key not in self._rev_cache:
+
+            def fn(p, keys, lr, e):
+                per = jax.vmap(
+                    lambda k, x: self.model.reverse(p, k, x[None], e)[0], in_axes=(0, 0)
+                )
+                return per(keys, lr)
+
+            self._rev_cache[cache_key] = jax.jit(fn)
+        return self._rev_cache[cache_key]
+
     def _log(self, msg):
         if self.logger:
             self.logger.info(msg)
@@ -107,13 +121,17 @@ class Evaluator:
             per_image["nll"].append(nll)
 
             for heat in self.heats:
+                # batch all n_sample draws into ONE reverse call (samples ride the
+                # batch axis; per-sample keys via fold_in inside vmapped sampling)
+                key, k_rev = jax.random.split(key)
+                rep = np.repeat(reverse_input, self.n_sample, axis=0)
+                keys = jax.random.split(k_rev, self.n_sample)
+                srs = np.asarray(
+                    self._rev_multi(rep.shape)(self.params, keys, rep, float(heat))
+                )
                 sr_imgs = []
                 for sample in range(self.n_sample):
-                    key, k_rev = jax.random.split(key)
-                    sr = self._rev(reverse_input.shape)(
-                        self.params, k_rev, reverse_input, float(heat)
-                    )
-                    sr_img = _quantize(np.asarray(sr[0]))
+                    sr_img = _quantize(srs[sample])
                     sr_imgs.append(sr_img)
                     if self.save_dir:
                         sfx = f"_{self.suffix}" if self.suffix else ""

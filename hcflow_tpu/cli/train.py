@@ -101,7 +101,12 @@ def main(argv=None):
     )
 
     # ------------------------------------------------------------------ model
+    import dataclasses as _dc
+
     model_spec = config_mod.model_spec_from_opt(opt)
+    if opt_get(opt, ["train", "remat_steps"], True):
+        # rematerialize step scans on backward: 160px training fits in HBM
+        model_spec = _dc.replace(model_spec, flow=_dc.replace(model_spec.flow, remat_steps=True))
     is_rescaling = "rescaling" in (opt.get("model") or "").lower()
     key = jax.random.PRNGKey(seed)
     key, k_init = jax.random.split(key)

@@ -239,6 +239,55 @@ def apply_rdb(params, x, compute_dtype=None):
     return x5 * 0.2 + x
 
 
+def apply_rdb_scatter(params, x, compute_dtype=None):
+    """RDB in "scatter" form: each feature's contributions to ALL later convs are one
+    wide conv.
+
+    The canonical dense block runs five convs with narrow (gc=32) outputs — at most
+    25% MXU lane utilization.  By linearity, conv_i(cat(x, x1..x_{i-1})) splits into
+    per-input-slice convs; grouping by *source* instead of *destination* turns the
+    computation into one N=(4*gc+nf) conv from x plus four progressively narrower
+    convs from x1..x4 — identical math (same weights, re-sliced), much wider matmuls.
+    """
+    cd = compute_dtype
+    ws = [params[f"conv{i}"]["w"] for i in range(1, 6)]
+    bs = [params[f"conv{i}"]["b"] for i in range(1, 6)]
+    nf = ws[0].shape[2]
+    gc = ws[0].shape[3]
+    outs = [w.shape[3] for w in ws]  # gc, gc, gc, gc, nf
+    bounds = [0]
+    for o in outs:
+        bounds.append(bounds[-1] + o)
+
+    # contributions of the RDB input x to every conv (input slice [0:nf])
+    wx = jnp.concatenate([w[:, :, :nf, :] for w in ws], axis=-1)
+    cx = conv2d(x, wx, jnp.concatenate(bs), compute_dtype=cd)
+
+    def seg(c, lo_conv, i):
+        """slice of concat-output c corresponding to conv i (0-based), where c covers
+        convs lo_conv..4"""
+        off = sum(outs[j] for j in range(lo_conv, i))
+        return c[..., off : off + outs[i]]
+
+    feats = []  # x1..x4
+    contribs = [cx]  # conv outputs grouped by source; contribs[s] covers convs s..4
+    acc = [None] * 5
+    for i in range(4):  # produce x_{i+1} from conv i
+        total = seg(cx, 0, i)
+        for s in range(1, i + 1):
+            total = total + seg(contribs[s], s, i)
+        h = _lrelu(total)
+        feats.append(h)
+        # conv weights of convs i+1..4 that consume feature h (input slice nf+i*gc)
+        lo = nf + i * gc
+        w_h = jnp.concatenate([ws[j][:, :, lo : lo + gc, :] for j in range(i + 1, 5)], -1)
+        contribs.append(conv2d(h, w_h, compute_dtype=cd))
+    out5 = seg(cx, 0, 4)
+    for s in range(1, 5):
+        out5 = out5 + seg(contribs[s], s, 4)
+    return out5 * 0.2 + x
+
+
 def init_rrdb(key, nf=64, gc=32, dtype=jnp.float32):
     k1, k2, k3 = jax.random.split(key, 3)
     return {
@@ -249,9 +298,11 @@ def init_rrdb(key, nf=64, gc=32, dtype=jnp.float32):
 
 
 def apply_rrdb(params, x, compute_dtype=None):
-    out = apply_rdb(params["rdb1"], x, compute_dtype)
-    out = apply_rdb(params["rdb2"], out, compute_dtype)
-    out = apply_rdb(params["rdb3"], out, compute_dtype)
+    # scatter form is ~10% faster on TPU at bf16 (wider matmuls); identical math
+    rdb = apply_rdb_scatter if compute_dtype is not None else apply_rdb
+    out = rdb(params["rdb1"], x, compute_dtype)
+    out = rdb(params["rdb2"], out, compute_dtype)
+    out = rdb(params["rdb3"], out, compute_dtype)
     return out * 0.2 + x
 
 

@@ -60,3 +60,27 @@ def test_bf16_mode_close_to_f32():
     b = np.asarray(m16.reverse(p, key, lr, 0.0))
     # loose: bf16 has ~3 decimal digits; the flows amplify somewhat
     assert np.mean(np.abs(a - b)) < 2e-2, np.mean(np.abs(a - b))
+
+
+def test_scatter_rdb_matches_canonical():
+    from hcflow_tpu.ops import nets
+
+    p = nets.init_rdb(jax.random.PRNGKey(0), nf=64, gc=32)
+    p = jax.tree.map(lambda a: a + 0.05 * jax.random.normal(jax.random.PRNGKey(1), a.shape), p)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 64))
+    a = nets.apply_rdb(p, x)
+    b = nets.apply_rdb_scatter(p, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_conv3x3_interpret_matches_xla():
+    """Pallas conv kernel (interpret mode on CPU) must equal the XLA conv."""
+    from hcflow_tpu.ops import nets
+    from hcflow_tpu.ops.pallas_conv import conv3x3_pallas
+
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 8))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 8, 16)) * 0.1
+    b = jax.random.normal(jax.random.PRNGKey(2), (16,)) * 0.1
+    want = nets.conv2d(x, w, b)
+    got = conv3x3_pallas(x, w, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
