@@ -301,3 +301,40 @@ def test_flownet_rescaling_parity(ref):
     both_nan = np.isnan(got) & np.isnan(want)
     ok = both_nan | (np.abs(got - want) <= 1e-3 + 1e-3 * np.abs(want))
     assert np.mean(ok) > 0.995, f"only {np.mean(ok):.4f} of elements match"
+
+
+def test_flownet_sr_x8_parity(ref):
+    """L=3 hierarchy with 2-level conditioning concat (FlowNet_SR_x8)."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from hcflow_tpu.flow.flownet import FlowNetSpec
+    from hcflow_tpu.utils.convert import convert_flownet
+
+    FN8 = importlib.import_module("models.modules.FlowNet_SR_x8")
+    net = FN8.FlowNet((16, 16, 3), opt=make_sr_opt(K=3, L=3, after=(1, 1, 1)))
+    randomize_(net)
+    net.eval()
+    spec = FlowNetSpec(
+        L=3, K=(3, 3, 3), after_splitoff=(1, 1, 1), hidden_channels=16,
+        so_hidden_channels=16, rrdb_nb=(1, 1), rrdb_nf=8, rrdb_gc=4,
+    )
+    params = convert_flownet(sd_numpy(net), spec, prefix="")
+
+    g = torch.Generator().manual_seed(6)
+    hr = torch.rand(2, 3, 16, 16, generator=g)
+    with torch.no_grad():
+        z_t, ld_t = net(hr=hr, logdet=torch.zeros(2), reverse=False)
+    z_j, ld_j = spec.normal_flow(params, jnp.asarray(t2j(hr)), jnp.zeros((2,)))
+    np.testing.assert_allclose(np.asarray(z_j), t2j(z_t), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ld_j), ld_t.numpy(), rtol=1e-3, atol=5e-2)
+
+    with torch.no_grad():
+        hr_t = net(z=z_t, eps_std=0.0, reverse=True)
+    hr_j = spec.reverse_flow(params, jax.random.PRNGKey(0), z_j, 0.0)
+    got, want = np.asarray(hr_j), t2j(hr_t)
+    both_nan = np.isnan(got) & np.isnan(want)
+    ok = both_nan | (np.abs(got - want) <= 1e-3 + 1e-3 * np.abs(want))
+    assert np.mean(ok) > 0.995, f"only {np.mean(ok):.4f} of elements match"
