@@ -104,11 +104,12 @@ class ConditionalFlowSpec:
         first = nets.conv2d(
             u, params["conv_first"]["w"], params["conv_first"]["b"], compute_dtype=cd
         )
+        rm = self.remat_steps
         if self.sr:
-            feat1 = nets.apply_rrdb_trunk(params["trunk0"], first, cd)
+            feat1 = nets.apply_rrdb_trunk(params["trunk0"], first, cd, remat=rm)
             feat2 = (
                 nets.conv2d(
-                    nets.apply_rrdb_trunk(params["trunk1"], feat1, cd),
+                    nets.apply_rrdb_trunk(params["trunk1"], feat1, cd, remat=rm),
                     params["trunk_conv1"]["w"],
                     params["trunk_conv1"]["b"],
                     compute_dtype=cd,
@@ -116,10 +117,10 @@ class ConditionalFlowSpec:
                 + first
             )
             return jnp.concatenate([feat1, feat2], axis=-1)
-        feat = nets.apply_rrdb_trunk(params["trunk0"], first, cd)
+        feat = nets.apply_rrdb_trunk(params["trunk0"], first, cd, remat=rm)
         feat = (
             nets.conv2d(
-                nets.apply_rrdb_trunk(params["trunk1"], feat, cd),
+                nets.apply_rrdb_trunk(params["trunk1"], feat, cd, remat=rm),
                 params["trunk_conv1"]["w"],
                 params["trunk_conv1"]["b"],
                 compute_dtype=cd,

@@ -38,19 +38,21 @@ def conv2d(
     Two modes:
     - default (compute_dtype=None): HIGHEST precision — true f32 on the MXU.  Used on
       any path feeding invertible arithmetic, where bf16 error would hurt round-trips.
-    - compute_dtype='bfloat16': cast inputs/weights to bf16 and accumulate in f32 (the
-      MXU's native fast mode, ~4x faster).  Safe for coupling NNs and conditioning
-      encoders: forward and inverse evaluate the *same deterministic function*, so
+    - compute_dtype='bfloat16': run the conv fully in bf16 (~4x faster on the MXU)
+      and upcast the result.  Safe for coupling NNs and conditioning encoders:
+      forward and inverse evaluate the *same deterministic function*, so
       invertibility is bit-preserved; only parity vs an f32 run shifts slightly.
     """
     kh, kw = w.shape[0], w.shape[1]
     pad = ((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)
     if compute_dtype is not None:
+        # conv fully in the compute dtype, then upcast: preferred_element_type=f32
+        # with bf16 operands has no valid AD transpose (backward conv would see
+        # mixed dtypes), so outputs round through bf16 — standard mixed precision.
         dt = jnp.dtype(compute_dtype)
         y = lax.conv_general_dilated(
-            x.astype(dt), w.astype(dt), (stride, stride), pad,
-            dimension_numbers=_DN, preferred_element_type=jnp.float32,
-        )
+            x.astype(dt), w.astype(dt), (stride, stride), pad, dimension_numbers=_DN
+        ).astype(jnp.float32)
     else:
         if precision is None:
             precision = lax.Precision.HIGHEST
@@ -313,9 +315,11 @@ def init_rrdb_trunk(key, nb, nf=64, gc=32, dtype=jnp.float32):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *per)
 
 
-def apply_rrdb_trunk(params, x, compute_dtype=None):
+def apply_rrdb_trunk(params, x, compute_dtype=None, remat: bool = False):
     def body(h, p):
         return apply_rrdb(p, h, compute_dtype), None
 
+    if remat:
+        body = jax.checkpoint(body)
     y, _ = lax.scan(body, x, params)
     return y
