@@ -104,6 +104,12 @@ def main(argv=None):
     import dataclasses as _dc
 
     model_spec = config_mod.model_spec_from_opt(opt)
+    if model_spec.flow.compute_dtype is not None:
+        logger.warning(
+            "training with compute_dtype=%s: bf16 gradients destabilize flow NLL "
+            "training (diverges in practice) — use f32 for training and bf16 for "
+            "serving unless you know what you are doing", model_spec.flow.compute_dtype,
+        )
     if opt_get(opt, ["train", "remat_steps"], True):
         # rematerialize step scans on backward: 160px training fits in HBM
         model_spec = _dc.replace(model_spec, flow=_dc.replace(model_spec.flow, remat_steps=True))
@@ -168,6 +174,7 @@ def main(argv=None):
         )
     else:
         nll_step = make_sr_nll_step(model_spec, tx, nll_weight)
+        calibrate_fn = jax.jit(model_spec.calibrate)
         pix_step = (
             make_sr_pixel_step(
                 model_spec, tx, pixel_weight_hr,
@@ -248,7 +255,7 @@ def main(argv=None):
             else:
                 # actnorm re-initialization window (NLL-only pretraining)
                 if step < act_norm_start and nll_only:
-                    new_params = model_spec.calibrate(state.params, k, hr, lr)
+                    new_params = calibrate_fn(state.params, k, hr, lr)
                     state = state.replace(params=new_params)
 
                 g_turn = (step % d_update_ratio == 0 and step > d_init_iters) or not gan_weight
