@@ -69,21 +69,37 @@ def cosine_restart(
     return schedule
 
 
+def with_warmup(schedule, warmup_iter: int):
+    """Linear LR warmup over the first warmup_iter steps (base_model.py:53-65)."""
+
+    def warmed(step):
+        lr = schedule(step)
+        frac = jnp.clip(jnp.asarray(step, jnp.float32) / max(warmup_iter, 1), 0.0, 1.0)
+        return lr * frac
+
+    return warmed
+
+
 def schedule_from_opt(train_opt: dict):
     """Build the configured schedule from a parsed ``train`` option section."""
     base_lr = train_opt.get("lr_G", 2.5e-4)
     scheme = train_opt.get("lr_scheme", "MultiStepLR")
     if scheme == "CosineAnnealingLR_Restart":
-        return cosine_restart(
+        sched = cosine_restart(
             base_lr,
             train_opt.get("T_period", [train_opt.get("niter", 100000)]),
             eta_min=train_opt.get("eta_min", 1e-8),
             restart_weights=train_opt.get("restart_weights"),
         )
-    return multistep_restart(
-        base_lr,
-        train_opt.get("lr_steps") or [],
-        gamma=train_opt.get("lr_gamma", 0.5),
-        restarts=train_opt.get("restarts"),
-        restart_weights=train_opt.get("restart_weights"),
-    )
+    else:
+        sched = multistep_restart(
+            base_lr,
+            train_opt.get("lr_steps") or [],
+            gamma=train_opt.get("lr_gamma", 0.5),
+            restarts=train_opt.get("restarts"),
+            restart_weights=train_opt.get("restart_weights"),
+        )
+    warmup = train_opt.get("warmup_iter") or 0
+    if warmup and warmup > 0:
+        sched = with_warmup(sched, warmup)
+    return sched
