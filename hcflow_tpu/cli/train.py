@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import math
 import os
+import signal
 import time
 
 import jax
@@ -228,6 +229,38 @@ def main(argv=None):
     heats = opt_get(opt, ["val", "heats"], [0.0])
     n_sample = opt_get(opt, ["val", "n_sample"], 1)
 
+    # graceful preemption: on SIGTERM/SIGINT, finish the current step, save, exit
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        logger.warning(f"signal {signum} received - saving state and stopping")
+        stop_requested["flag"] = True
+
+    signal.signal(signal.SIGTERM, _request_stop)
+    signal.signal(signal.SIGINT, _request_stop)
+
+    def save_all(tag_step):
+        save_checkpoint(
+            os.path.join(paths["models"], f"{tag_step}_G.ckpt"),
+            {"params": state.params, "step": tag_step},
+        )
+        save_checkpoint(
+            os.path.join(paths["training_state"], f"{tag_step}.state"),
+            {
+                "step": tag_step,
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "d_params": d_state.params if d_state else None,
+                "d_opt_state": d_state.opt_state if d_state else None,
+                "epoch": epoch,
+            },
+        )
+        prune_checkpoints(paths["models"], "_G.ckpt", keep=2, keep_period=5000)
+        prune_checkpoints(paths["training_state"], ".state", keep=2, keep_period=5000)
+
+    from ..utils.profiling import ThroughputMeter
+
+    meter = ThroughputMeter(window=max(int(print_freq), 10))
     logger.info(f"training from step {start_step} to {niter}")
     step = start_step
     epoch = 0
@@ -278,35 +311,31 @@ def main(argv=None):
                     d_state, m = d_step(d_state, hr, fake_h)
                     metrics.update(m)
 
+            meter.tick(n_items=hr.shape[0], n_pixels=hr.shape[0] * hr.shape[1] * hr.shape[2])
             if step % print_freq == 0:
                 dt = (time.time() - t_last) / print_freq
                 t_last = time.time()
                 lr_now = float(schedule(step))
                 msg = ", ".join(f"{k_}: {float(v):.4e}" for k_, v in metrics.items())
-                logger.info(f"<epoch:{epoch:3d}, iter:{step:8,d}, lr:{lr_now:.3e}, "
-                            f"{dt:.3f}s/it> {msg}")
+                logger.info(
+                    f"<epoch:{epoch:3d}, iter:{step:8,d}, lr:{lr_now:.3e}, "
+                    f"{dt:.3f}s/it, {meter.items_per_sec:.1f} img/s, "
+                    f"{meter.megapixels_per_sec:.2f} MP/s> {msg}"
+                )
                 for k_, v in metrics.items():
                     tb.add_scalar(k_, float(v), step)
+                tb.add_scalar("perf/img_per_sec", meter.items_per_sec, step)
+
+            if stop_requested["flag"]:
+                if is_main_process():
+                    save_all(step)
+                logger.info(f"stopped by signal at step {step}")
+                tb.close()
+                return state
 
             if step % save_freq == 0 and is_main_process():
                 logger.info(f"saving models and training states at step {step}")
-                save_checkpoint(
-                    os.path.join(paths["models"], f"{step}_G.ckpt"),
-                    {"params": state.params, "step": step},
-                )
-                save_checkpoint(
-                    os.path.join(paths["training_state"], f"{step}.state"),
-                    {
-                        "step": step,
-                        "params": state.params,
-                        "opt_state": state.opt_state,
-                        "d_params": d_state.params if d_state else None,
-                        "d_opt_state": d_state.opt_state if d_state else None,
-                        "epoch": epoch,
-                    },
-                )
-                prune_checkpoints(paths["models"], "_G.ckpt", keep=2, keep_period=5000)
-                prune_checkpoints(paths["training_state"], ".state", keep=2, keep_period=5000)
+                save_all(step)
 
             if val_loader is not None and step % val_freq == 0:
                 evaluator = Evaluator(
