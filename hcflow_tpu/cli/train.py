@@ -176,6 +176,7 @@ def main(argv=None):
     else:
         nll_step = make_sr_nll_step(model_spec, tx, nll_weight)
         calibrate_fn = jax.jit(model_spec.calibrate)
+        reverse_fn = jax.jit(lambda p, k, x, e: model_spec.reverse(p, k, x, e))
         pix_step = (
             make_sr_pixel_step(
                 model_spec, tx, pixel_weight_hr,
@@ -294,20 +295,22 @@ def main(argv=None):
                 g_turn = (step % d_update_ratio == 0 and step > d_init_iters) or not gan_weight
                 fake_h = None
                 if g_turn:
-                    state, m = nll_step(state, k, hr, lr)
+                    state, m = nll_step(state, jax.random.fold_in(k, 0), hr, lr)
                     metrics.update(m)
                     if pix_step is not None:
-                        state, m = pix_step(state, k, hr, lr)
+                        state, m = pix_step(state, jax.random.fold_in(k, 1), hr, lr)
                         metrics.update(m)
                     if fg_step is not None:
                         state, fake_h, m = fg_step(
-                            state, k, hr, lr,
+                            state, jax.random.fold_in(k, 2), hr, lr,
                             d_state.params if d_state else None, f_params,
                         )
                         metrics.update(m)
                 if gan_weight:
                     if fake_h is None:
-                        fake_h = model_spec.reverse(state.params, k, lr, eps_std_reverse)
+                        fake_h = reverse_fn(
+                            state.params, jax.random.fold_in(k, 2), lr, eps_std_reverse
+                        )
                     d_state, m = d_step(d_state, hr, fake_h)
                     metrics.update(m)
 
