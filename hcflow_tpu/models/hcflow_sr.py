@@ -48,11 +48,18 @@ class HCFlowSRSpec:
         return self.flow.init(key, dtype)
 
     # ------------------------------------------------------------- normal flow
-    def forward(self, params: dict, key: jax.Array, hr: jnp.ndarray, lr: jnp.ndarray):
-        """HR -> (fake LR in [0,1], nll in bits/dim). hr/lr are NHWC in [0,1]."""
+    def forward(self, params: dict, key: jax.Array, hr: jnp.ndarray, lr: jnp.ndarray,
+                noise=None):
+        """HR -> (fake LR in [0,1], nll in bits/dim). hr/lr are NHWC in [0,1].
+
+        noise: optional explicit dequantization noise in [0,1) (same shape as hr) —
+        pass zeros for deterministic parity checks; None samples U(0,1)/quant.
+        """
         B, H, W, _ = hr.shape
         pixels = H * W
-        hr = hr + jax.random.uniform(key, hr.shape, hr.dtype) / self.quant
+        if noise is None:
+            noise = jax.random.uniform(key, hr.shape, hr.dtype)
+        hr = hr + noise / self.quant
         logdet = jnp.full((B,), -math.log(self.quant) * pixels, hr.dtype)
 
         z, logdet = self.flow.normal_flow(params, hr, logdet)
