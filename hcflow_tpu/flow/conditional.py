@@ -158,15 +158,33 @@ class ConditionalFlowSpec:
         fake_z = (z - mean) * jnp.exp(-logscale)
         return fake_z, cond
 
+    # -------------------------------------------------------------- latent access
+    def encode_eps(self, params: dict, a: jnp.ndarray, u: jnp.ndarray):
+        """Whitened latent of a under the conditional prior: eps = (f(a)-mean)/std.
+
+        The reference's get_encode_z capability (HCFlow_SR_model.py:328+): exposes the
+        exact latent so reverse(..., eps=eps) reproduces a bit-for-bit.
+        """
+        cond = self.cond_feature(params, u)
+        z = a
+        if self.n_flow_step > 0:
+            zeros = jnp.zeros((z.shape[0],), z.dtype)
+            z, _ = self._run_steps(params, z, cond, zeros, inverse=False)
+        mean, second = self._prior(params, cond)
+        logs = second if self.sr else _clamp_logscale(second)
+        return (z - mean) * jnp.exp(-logs)
+
     # ------------------------------------------------------------------- reverse
-    def reverse(self, params: dict, key: jax.Array, u: jnp.ndarray, eps_std):
-        """Sample a from the conditional prior and invert the steps. Returns (a, cond)."""
+    def reverse(self, params: dict, key: jax.Array, u: jnp.ndarray, eps_std, eps=None):
+        """Sample a from the conditional prior (or use explicit eps) and invert the
+        steps. Returns (a, cond)."""
         cond = self.cond_feature(params, u)
         mean, second = self._prior(params, cond)
-        if self.sr:
-            z = densities.gaussian_sample(key, mean, second, eps_std)
+        logs = second if self.sr else _clamp_logscale(second)
+        if eps is None:
+            z = densities.gaussian_sample(key, mean, logs, eps_std)
         else:
-            z = densities.gaussian_sample(key, mean, _clamp_logscale(second), eps_std)
+            z = mean + jnp.exp(logs) * eps
         if self.n_flow_step > 0:
             zeros = jnp.zeros((z.shape[0],), z.dtype)
             z, _ = self._run_steps(params, z, cond, zeros, inverse=True)

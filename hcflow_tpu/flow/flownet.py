@@ -214,8 +214,13 @@ class FlowNetSpec:
         return z, fake_zs
 
     # -------------------------------------------------------------------- reverse
-    def reverse_flow(self, params: dict, key: jax.Array, lr: jnp.ndarray, eps_std):
-        """z (LR) -> HR, sampling split-off latents at temperature eps_std."""
+    def reverse_flow(self, params: dict, key: jax.Array, lr: jnp.ndarray, eps_std,
+                     eps_list=None):
+        """z (LR) -> HR, sampling split-off latents at temperature eps_std.
+
+        eps_list: optional explicit whitened latents per level (from :meth:`encode`)
+        — overrides sampling, giving an exact decode / latent-manipulation API.
+        """
         z = lr
         cond_feats = [None] * self.L
         keys = jax.random.split(key, self.L)
@@ -223,13 +228,40 @@ class FlowNetSpec:
             lv = self.levels[i]
             u = self._cond_input(i, z, cond_feats)
             a, cond_feats[i] = lv.cond_spec.reverse(
-                params[f"level{i}"]["cond"], keys[i], u, eps_std
+                params[f"level{i}"]["cond"], keys[i], u, eps_std,
+                eps=None if eps_list is None else eps_list[i],
             )
             z = jnp.concatenate([z, a], axis=-1)
             zeros = jnp.zeros((z.shape[0],), z.dtype)
             z, _ = self._main_inverse(lv, params[f"level{i}"]["main"], z, zeros)
             z = self._unsqueeze(z)
         return z
+
+    # --------------------------------------------------------------------- encode
+    def encode(self, params: dict, hr: jnp.ndarray):
+        """HR -> (z, [whitened latent eps per level]) — exact inverse inputs.
+
+        ``reverse_flow(params, key, z, eps_std, eps_list=eps)`` reconstructs hr
+        exactly (up to f32): the runtime invertibility oracle, and the basis for
+        latent-space manipulation (the reference's get_encode_z / get_sr_with_z).
+        """
+        z = hr
+        ys, a_s = [], []
+        zeros = jnp.zeros((hr.shape[0],), hr.dtype)
+        for lv in self.levels:
+            z = self._squeeze(z)
+            z, _ = self._main_forward(lv, params[f"level{lv.level}"]["main"], z, zeros)
+            ys.append(z[..., : lv.split_channels])
+            a_s.append(z[..., lv.split_channels :])
+            z = ys[-1]
+        cond_feats = [None] * self.L
+        eps_list = [None] * self.L
+        for i in reversed(range(self.L)):
+            lv = self.levels[i]
+            u = self._cond_input(i, ys[i], cond_feats)
+            cond_feats[i] = lv.cond_spec.cond_feature(params[f"level{i}"]["cond"], u)
+            eps_list[i] = lv.cond_spec.encode_eps(params[f"level{i}"]["cond"], a_s[i], u)
+        return z, eps_list
 
     # --------------------------------------------------------------- inference prep
     def precompute_inference(self, params: dict) -> dict:

@@ -168,3 +168,15 @@ def test_hoisted_cond_steps_match_plain():
     x_b, _ = stack.inverse_stack_hoisted(spec, stacked, y_a, u, ld)
     np.testing.assert_allclose(np.asarray(x_b), np.asarray(x_a), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(x_b), np.asarray(z), rtol=1e-4, atol=1e-4)
+
+
+def test_encode_decode_roundtrip():
+    """encode -> reverse_flow(eps_list=...) must reconstruct the input exactly."""
+    spec = FlowNetSpec(**TINY_SR)
+    p = spec.init(KEY)
+    p = _randomized(p, jax.random.PRNGKey(9), 0.02)
+    hr = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    z, eps = spec.encode(p, hr)
+    assert z.shape == (2, 4, 4, 3) and len(eps) == 2
+    hr_rec = spec.reverse_flow(p, jax.random.PRNGKey(0), z, 0.0, eps_list=eps)
+    np.testing.assert_allclose(np.asarray(hr_rec), np.asarray(hr), rtol=1e-3, atol=1e-3)
