@@ -62,13 +62,6 @@ class Evaluator:
             self._fwd_cache[shape] = jax.jit(self.model.forward)
         return self._fwd_cache[shape]
 
-    def _rev(self, shape):
-        if shape not in self._rev_cache:
-            self._rev_cache[shape] = jax.jit(
-                lambda p, k, lr, e: self.model.reverse(p, k, lr, e)
-            )
-        return self._rev_cache[shape]
-
     def _rev_multi(self, shape):
         """Reverse with one key per batch element (sample grid batched together)."""
         cache_key = ("multi", shape)

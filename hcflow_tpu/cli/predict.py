@@ -16,7 +16,7 @@ import os
 import jax
 import numpy as np
 
-from ..data.util import modcrop, read_img, save_img
+from ..data.util import read_img, save_img
 from ..utils import config as config_mod
 from ..utils.checkpoint import load_any
 from .tiled import tiled_reverse
@@ -50,13 +50,20 @@ class Predictor:
     def predict(self, image_path: str, out_path: str = None, heat: float = None,
                 seed: int = 0, max_tile: int = 128) -> str:
         heat = self.default_heat if heat is None else heat
-        lr = modcrop(read_img(image_path), 2)  # pad factor 2 (predict.py LQ convention)
+        lr = read_img(image_path)
+        # reference LQ convention (predict.py / GTLQx test path): reflect-pad the LR
+        # up to a factor-2 grid, crop the SR back afterwards
+        h, w = lr.shape[:2]
+        ph, pw = (-h) % 2, (-w) % 2
+        if ph or pw:
+            lr = np.pad(lr, ((0, ph), (0, pw), (0, 0)), mode="reflect")
         key = jax.random.PRNGKey(seed)
         if max(lr.shape[:2]) > max_tile:
             sr = tiled_reverse(self._rev, self.params, key, lr, self.scale, heat,
                                tile=max_tile, overlap=8)
         else:
             sr = np.asarray(self._rev(self.params, key, lr[None], heat)[0])
+        sr = sr[: h * self.scale, : w * self.scale]
         out_path = out_path or (os.path.splitext(image_path)[0] + f"_SR_{heat:.1f}.png")
         save_img(out_path, sr)
         return out_path

@@ -88,12 +88,6 @@ def test_end_to_end_eval_parity():
     lr_t = torch.from_numpy(lr.transpose(2, 0, 1))[None]
 
     real_rand = torch.rand
-
-    def zero_rand(*size, **kw):
-        if size and isinstance(size[0], torch.Size):
-            return torch.zeros(size[0], **{k: v for k, v in kw.items() if k != "device"})
-        return torch.zeros(*size)
-
     torch.rand = lambda *a, **k: torch.zeros(a[0]) if a and isinstance(a[0], torch.Size) \
         else torch.zeros(*a)
     try:
