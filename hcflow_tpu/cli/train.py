@@ -343,7 +343,7 @@ def main(argv=None):
             if val_loader is not None and step % val_freq == 0:
                 evaluator = Evaluator(
                     model_spec, state.params, heats, n_sample=n_sample,
-                    scale=opt.get("scale", 4), logger=logger,
+                    scale=opt.get("scale", 4), logger=logger, rescaling=is_rescaling,
                 )
                 results = evaluator.run(val_loader, jax.random.fold_in(base_key, niter + step))
                 for k_, v in results.items():
