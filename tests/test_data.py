@@ -119,3 +119,24 @@ def test_metrics_sanity():
     assert p2 == float("inf") and s2 == pytest.approx(1.0)
     d = diversity([img, noisy])
     assert 0 < d < 5
+
+
+def test_prepare_pkl_roundtrip(tmp_path):
+    """prepare_data pkl output must feed the LRHR_PKL training dataset."""
+    from hcflow_tpu.cli.prepare_data import prepare_pkl
+
+    out = prepare_pkl(
+        f"{REF_FACE}/HR", str(tmp_path), crops_per_image=2, crop_size=32,
+        scales=(4,), subset_frac=0.5,
+    )
+    assert out["tr.pklv4"] == 12  # 6 images x 2 crops
+    ds = create_dataset({
+        "mode": "LRHR_PKL", "phase": "train", "scale": 4, "GT_size": 32,
+        "use_flip": True,
+        "dataroot_GT": str(tmp_path / "tr.pklv4"),
+        "dataroot_LQ": str(tmp_path / "tr_X4.pklv4"),
+    })
+    item = ds[0]
+    assert item["GT"].shape == (32, 32, 3)
+    assert item["LQ"].shape == (8, 8, 3)
+    assert item["GT"].dtype == np.float32 and item["GT"].max() <= 1.0
