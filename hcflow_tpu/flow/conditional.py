@@ -51,6 +51,7 @@ class ConditionalFlowSpec:
     nn_module: str = "FCN"
     hidden_channels: int = 64
     compute_dtype: Optional[str] = None
+    encoder_dtype: Optional[str] = None  # overrides compute_dtype for the RRDB encoder
     scan_unroll: int = 1
     remat_steps: bool = False
 
@@ -100,7 +101,7 @@ class ConditionalFlowSpec:
 
     # ------------------------------------------------------------------- encoder
     def cond_feature(self, params: dict, u: jnp.ndarray) -> jnp.ndarray:
-        cd = self.compute_dtype
+        cd = self.encoder_dtype if self.encoder_dtype is not None else self.compute_dtype
         first = nets.conv2d(
             u, params["conv_first"]["w"], params["conv_first"]["b"], compute_dtype=cd
         )

@@ -76,6 +76,7 @@ class FlowNetSpec:
     rrdb_nf: int = 64
     rrdb_gc: int = 32
     compute_dtype: Optional[str] = None  # 'bfloat16' => coupling/encoder nets in bf16
+    encoder_dtype: Optional[str] = None  # encoder-only override (e.g. bf16 encoders + f32 couplings)
     scan_unroll: int = 1  # unroll factor for step scans (XLA cross-step fusion)
     remat_steps: bool = False  # rematerialize step scans on backward (memory)
 
@@ -110,6 +111,7 @@ class FlowNetSpec:
                 nn_module=self.so_nn_module,
                 hidden_channels=self.so_hidden_channels,
                 compute_dtype=self.compute_dtype,
+                encoder_dtype=self.encoder_dtype,
                 scan_unroll=self.scan_unroll,
                 remat_steps=self.remat_steps,
             )

@@ -115,6 +115,7 @@ def flownet_spec_from_opt(opt: dict, sr: bool = True) -> FlowNetSpec:
         rrdb_nf=so.get("RRDB_nf", 64),
         rrdb_gc=so.get("RRDB_gc", 32),
         compute_dtype=opt_get(opt, ["network_G", "compute_dtype"]) or fd.get("compute_dtype"),
+        encoder_dtype=opt_get(opt, ["network_G", "encoder_dtype"]) or fd.get("encoder_dtype"),
     )
 
 
