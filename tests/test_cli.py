@@ -1,0 +1,109 @@
+"""CLI-level tests: checkpoint conversion round trip and the serving Predictor."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/codes"
+
+
+def _setup_ref():
+    if "natsort" not in sys.modules:
+        m = types.ModuleType("natsort")
+        m.natsorted = sorted
+        sys.modules["natsort"] = m
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvu = types.ModuleType("torchvision.utils")
+        tvu.make_grid = lambda *a, **k: None
+        tv.utils = tvu
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tvu
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+
+
+TINY_FD = {
+    "K": 3, "L": 2, "flow_permutation": "invconv", "flow_coupling": "Affine",
+    "nn_module": "FCN", "hidden_channels": 8, "cond_channels": None,
+    "splitOff": {
+        "enable": True, "after_flowstep": [1, 1], "flow_permutation": "invconv",
+        "flow_coupling": "Affine", "nn_module": "FCN", "hidden_channels": 8,
+        "RRDB_nb": [1, 1], "RRDB_nf": 8, "RRDB_gc": 4,
+    },
+}
+
+
+def test_convert_cli_roundtrip(tmp_path):
+    """torch .pth --(cli convert)--> .ckpt --> load_any --> same outputs."""
+    _setup_ref()
+    import jax
+    import jax.numpy as jnp
+    import yaml
+    from models.modules.HCFlowNet_SR_arch import HCFlowNet_SR
+
+    from hcflow_tpu.cli.convert import main as convert_main
+    from hcflow_tpu.utils import config as config_mod
+    from hcflow_tpu.utils.checkpoint import load_any
+
+    opt = {"quant": 64, "scale": 4, "datasets": {"train": {"GT_size": 16}},
+           "network_G": {"in_nc": 3, "flowDownsampler": TINY_FD}}
+    net = HCFlowNet_SR(opt)
+    g = torch.Generator().manual_seed(0)
+    for name, p in net.named_parameters():
+        if "permute.weight" in name:
+            p.data = torch.linalg.qr(torch.randn(p.shape, generator=g))[0]
+        else:
+            p.data = torch.randn(p.shape, generator=g) * 0.03
+    pth = str(tmp_path / "model.pth")
+    torch.save(net.state_dict(), pth)
+
+    yml = str(tmp_path / "opt.yml")
+    yaml.safe_dump(
+        {"name": "t", "model": "HCFlow_SR", "scale": 4, "quant": 64,
+         "network_G": {"in_nc": 3, "flowDownsampler": TINY_FD}},
+        open(yml, "w"),
+    )
+    out = str(tmp_path / "model.ckpt")
+    convert_main(["model", "--pth", pth, "--opt", yml, "--out", out])
+    assert os.path.isfile(out)
+
+    spec = config_mod.model_spec_from_opt(config_mod.parse(yml, is_train=False))
+    loaded = load_any(out)
+    params_ckpt = loaded["params"]
+    params_direct = load_any(pth, spec.flow)  # direct .pth conversion path
+
+    lr = jax.random.uniform(jax.random.PRNGKey(1), (1, 4, 4, 3))
+    a = spec.reverse(params_ckpt, jax.random.PRNGKey(0), lr, 0.0)
+    b = spec.reverse(params_direct, jax.random.PRNGKey(0), lr, 0.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_predictor_padding_and_output(tmp_path):
+    """Predictor handles odd-sized inputs (reflect pad to factor 2, crop SR back)."""
+    import yaml
+
+    from hcflow_tpu.cli.predict import Predictor
+    from hcflow_tpu.data.util import save_img
+
+    yml = str(tmp_path / "opt.yml")
+    yaml.safe_dump(
+        {"name": "t", "model": "HCFlow_SR", "scale": 4, "quant": 64,
+         "network_G": {"in_nc": 3, "flowDownsampler": TINY_FD},
+         "val": {"heats": [0.0], "n_sample": 1}},
+        open(yml, "w"),
+    )
+    img = np.random.default_rng(0).random((11, 13, 3)).astype(np.float32)
+    src = str(tmp_path / "in.png")
+    save_img(src, img)
+    pred = Predictor("general", opt_path=yml)
+    out = pred.predict(src, out_path=str(tmp_path / "out.png"), heat=0.0)
+    import cv2
+
+    sr = cv2.imread(out)
+    assert sr.shape == (44, 52, 3)
