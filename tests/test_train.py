@@ -116,3 +116,38 @@ def test_rescaling_joint_step():
     for v in m.values():
         assert jnp.isfinite(v)
     assert int(state.step) == 1
+
+
+def test_gan_loss_variants():
+    from hcflow_tpu.train.losses import gan_loss, gradient_penalty
+
+    logits = jnp.array([[1.5], [-0.5]])
+    for t in ("gan", "lsgan", "wgangp", "ragan"):
+        lr_ = gan_loss(t, logits, True)
+        lf_ = gan_loss(t, logits, False)
+        assert jnp.isfinite(lr_) and jnp.isfinite(lf_)
+    assert float(gan_loss("wgangp", logits, True)) == -float(jnp.mean(logits))
+
+    # gradient penalty: for a linear critic D(x)=sum(w*x), grad norm is |w|
+    d_apply = lambda p, x: jnp.sum(x * p, axis=(1, 2, 3))
+    p = jnp.full((1, 4, 4, 3), 2.0)
+    real = jax.random.uniform(jax.random.PRNGKey(0), (2, 4, 4, 3))
+    fake = jax.random.uniform(jax.random.PRNGKey(1), (2, 4, 4, 3))
+    gp = gradient_penalty(d_apply, p, jax.random.PRNGKey(2), real, fake)
+    want = (jnp.sqrt(jnp.sum(p**2)) - 1.0) ** 2
+    np.testing.assert_allclose(float(gp), float(want), rtol=1e-5)
+
+
+def test_d_step_all_gan_types():
+    from hcflow_tpu.models.discriminators import PatchGANDiscriminatorSpec
+    from hcflow_tpu.train.trainer import make_d_optimizer, make_d_step
+    from hcflow_tpu.train.schedules import multistep_restart
+
+    dspec = PatchGANDiscriminatorSpec(ndf=8, n_layers=1)
+    real = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    fake = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 3))
+    for t in ("gan", "lsgan", "ragan"):
+        dtx = make_d_optimizer({"lr_D": 1e-4}, multistep_restart(1e-4, []))
+        dstate = init_state(dspec.init(jax.random.PRNGKey(0)), dtx)
+        dstate, m = make_d_step(dspec.apply, dtx, t)(dstate, real, fake)
+        assert jnp.isfinite(m["l_d_real"]) and jnp.isfinite(m["l_d_fake"])
