@@ -70,6 +70,27 @@ def main():
     )
     if "--all" in sys.argv:
         print(f"f32 path: {measure(None, lr, key):.3f} MP/s", file=sys.stderr)
+        # x8 face topology (CelebA config shape): 20x20 LR -> 160x160 HR
+        from hcflow_tpu.models import HCFlowSRSpec as _S
+
+        model8 = _S.for_scale(8, compute_dtype="bfloat16")
+        p8 = model8.flow.precompute_inference(model8.init(jax.random.PRNGKey(0)))
+        lr8 = jax.random.uniform(jax.random.PRNGKey(3), (BATCH, 20, 20, 3))
+
+        @jax.jit
+        def run8(x):
+            def body(i, x):
+                out = model8.reverse(p8, jax.random.fold_in(key, i), x, 0.8)
+                return x + out[:, ::8, ::8, :] * 1e-6
+            return lax.fori_loop(0, ITERS, body, x)
+
+        out = run8(lr8)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = run8(lr8)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / ITERS
+        print(f"x8 face path: {BATCH * 160 * 160 / 1e6 / dt:.3f} MP/s", file=sys.stderr)
 
 
 if __name__ == "__main__":
