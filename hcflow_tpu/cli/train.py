@@ -344,6 +344,8 @@ def main(argv=None):
                 evaluator = Evaluator(
                     model_spec, state.params, heats, n_sample=n_sample,
                     scale=opt.get("scale", 4), logger=logger, rescaling=is_rescaling,
+                    save_dir=os.path.join(paths.get("val_images", paths["log"]),
+                                          f"iter_{step}") if is_main_process() else None,
                 )
                 results = evaluator.run(val_loader, jax.random.fold_in(base_key, niter + step))
                 for k_, v in results.items():

@@ -82,7 +82,8 @@ def make_sr_nll_step(model, tx, nll_weight: float = 1.0):
             return nll_weight * nll, nll
 
         (_, nll), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        return _apply(tx, state, grads, advance_step=True), {"nll": nll}
+        gnorm = optax.global_norm(grads)
+        return _apply(tx, state, grads, advance_step=True), {"nll": nll, "grad_norm": gnorm}
 
     return jax.jit(step, donate_argnums=(0,))
 
