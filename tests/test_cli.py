@@ -107,3 +107,30 @@ def test_predictor_padding_and_output(tmp_path):
 
     sr = cv2.imread(out)
     assert sr.shape == (44, 52, 3)
+
+
+def test_evaluator_metric_grid():
+    """Evaluator produces the full metric grid on a real bundled image."""
+    import jax
+
+    from hcflow_tpu.cli.evaluate import Evaluator
+    from hcflow_tpu.data import DataLoader, create_dataset
+    from hcflow_tpu.models import HCFlowSRSpec
+
+    model = HCFlowSRSpec.for_scale(
+        4, K=(2, 2), after_splitoff=(1, 1), rrdb_nb=(1, 1), rrdb_nf=8, rrdb_gc=4,
+        hidden_channels=8, so_hidden_channels=8,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    ds = create_dataset({
+        "mode": "GT", "phase": "val", "scale": 4, "n_max": 1,
+        "dataroot_GT": "/root/reference/datasets/example_face_8X/HR",
+    })
+    ev = Evaluator(model, params, heats=[0.0, 0.8], n_sample=2, scale=4)
+    out = ev.run(DataLoader(ds, batch_size=1), jax.random.PRNGKey(1))
+    for key in ("nll", "lr_psnr", "psnr@0.0", "ssim@0.8", "bic_psnr@0.0",
+                "diversity@0.8", "psnr_y@0.0"):
+        assert key in out, out.keys()
+    assert out["diversity@0.0"] < 1e-6  # deterministic at heat 0
+    assert out["diversity@0.8"] > 0.01
+    assert out["n_images"] == 1
