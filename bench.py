@@ -19,7 +19,6 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
 from jax import lax
 
 sys.path.insert(0, "/root/repo")

@@ -16,7 +16,6 @@ HCFlow_SR_model.py / HCFlow_Rescaling_model.py:
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import signal
 import time

@@ -9,7 +9,7 @@ convention is confined to the cv2 boundary.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

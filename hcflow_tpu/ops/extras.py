@@ -16,13 +16,12 @@ Behavioral references:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from . import actnorm, nets
-from .densities import gaussian_logp, gaussian_sample
+from .densities import gaussian_logp
 
 _AXES = (1, 2, 3)
 

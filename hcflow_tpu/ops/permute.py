@@ -9,7 +9,6 @@ op inventory (FlowStep's flow_permutation options).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

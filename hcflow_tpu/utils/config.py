@@ -15,7 +15,7 @@ relative->absolute LR milestones.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Sequence
+from typing import Sequence
 
 import yaml
 

@@ -16,7 +16,7 @@ Works on a plain ``dict[str, np.ndarray]`` (load the .pth with
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
