@@ -54,6 +54,7 @@ class ConditionalFlowSpec:
     encoder_dtype: Optional[str] = None  # overrides compute_dtype for the RRDB encoder
     scan_unroll: int = 1
     remat_steps: bool = False
+    remat_trunks: bool = True  # trunks are the HBM hogs; cheap to rematerialize
 
     @property
     def a_channels(self) -> int:
@@ -105,7 +106,7 @@ class ConditionalFlowSpec:
         first = nets.conv2d(
             u, params["conv_first"]["w"], params["conv_first"]["b"], compute_dtype=cd
         )
-        rm = self.remat_steps
+        rm = self.remat_trunks
         if self.sr:
             feat1 = nets.apply_rrdb_trunk(params["trunk0"], first, cd, remat=rm)
             feat2 = (
@@ -118,6 +119,7 @@ class ConditionalFlowSpec:
                 + first
             )
             return jnp.concatenate([feat1, feat2], axis=-1)
+        rm = self.remat_trunks
         feat = nets.apply_rrdb_trunk(params["trunk0"], first, cd, remat=rm)
         feat = (
             nets.conv2d(

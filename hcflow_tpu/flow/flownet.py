@@ -79,6 +79,7 @@ class FlowNetSpec:
     encoder_dtype: Optional[str] = None  # encoder-only override (e.g. bf16 encoders + f32 couplings)
     scan_unroll: int = 1  # unroll factor for step scans (XLA cross-step fusion)
     remat_steps: bool = False  # rematerialize step scans on backward (memory)
+    remat_trunks: bool = True  # rematerialize RRDB trunk scans (the HBM hogs)
 
     @property
     def levels(self) -> Tuple[LevelSpec, ...]:
@@ -114,6 +115,7 @@ class FlowNetSpec:
                 encoder_dtype=self.encoder_dtype,
                 scan_unroll=self.scan_unroll,
                 remat_steps=self.remat_steps,
+                remat_trunks=self.remat_trunks,
             )
             out.append(
                 LevelSpec(
