@@ -34,6 +34,7 @@ def _setup_ref():
         sys.path.insert(0, REF)
 
 
+@pytest.mark.slow
 def test_end_to_end_eval_parity():
     _setup_ref()
     import jax

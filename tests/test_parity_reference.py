@@ -199,6 +199,7 @@ def make_sr_opt(K=4, L=2, after=(2, 2), hidden=16, nb=(1, 1), nf=8, gc=4):
     }
 
 
+@pytest.mark.slow
 def test_flownet_sr_x4_parity(ref):
     import jax
     import jax.numpy as jnp
@@ -239,6 +240,7 @@ def test_flownet_sr_x4_parity(ref):
 
 
 # --------------------------------------------------------- FlowNet Rescaling x4
+@pytest.mark.slow
 def test_flownet_rescaling_parity(ref):
     import jax
     import jax.numpy as jnp
@@ -303,6 +305,7 @@ def test_flownet_rescaling_parity(ref):
     assert np.mean(ok) > 0.995, f"only {np.mean(ok):.4f} of elements match"
 
 
+@pytest.mark.slow
 def test_flownet_sr_x8_parity(ref):
     """L=3 hierarchy with 2-level conditioning concat (FlowNet_SR_x8)."""
     import importlib

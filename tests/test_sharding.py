@@ -38,6 +38,7 @@ def test_data_parallel_nll_matches_single_device():
     np.testing.assert_allclose(float(nll_sharded), float(nll_single), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hcflow_tpu.models import HCFlowRescalingSpec, HCFlowSRSpec
 from hcflow_tpu.models.discriminators import VGGDiscriminatorSpec
@@ -51,6 +52,7 @@ def test_schedules():
     assert schedule_from_opt(TOPT) is not None
 
 
+@pytest.mark.slow
 def test_full_plusplus_iteration():
     """One complete HCFlow++ iteration: nll -> pixel -> fea/gan -> D update."""
     model = tiny_sr_model()
@@ -101,6 +103,7 @@ def test_nan_guard_skips_update():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_rescaling_joint_step():
     model = HCFlowRescalingSpec.default_x4(
         K=(3, 3), after_splitoff=(1, 1), rrdb_nb=(1, 1), rrdb_nf=8, rrdb_gc=4,
