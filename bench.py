@@ -9,9 +9,15 @@ arithmetic f32), scatter-form dense blocks, hoisted cond convs, and precomputed
 invconv inverses.  Batch 16, 40x40 LR -> 160x160 HR.
 
 Timing uses an in-graph fori_loop (per-iteration key folding) so the result is not
-polluted by per-call dispatch or the runtime's same-input result caching.
-vs_baseline is the ratio to BASELINE_MPS (A100 reference; null — the reference repo
-publishes no perf numbers).
+polluted by per-call dispatch or the runtime's same-input result caching, and the
+timed call's arguments differ from the warmup call's (different fold base) so the
+two calls can never hit a same-input result cache.
+
+vs_baseline is the ratio to BASELINE_MPS — a derived A100 estimate for the PyTorch
+reference on this exact workload (the reference publishes no perf numbers): 7.20
+TFLOP per HR megapixel (torch-profiler-measured) divided by a deliberately generous
+20 TFLOP/s effective A100 throughput. Methodology, measured CPU datapoint, and the
+1.4-4.2 MP/s defensible range: BASELINE.md "Measured + derived throughput baseline".
 """
 
 import json
@@ -25,7 +31,7 @@ sys.path.insert(0, "/root/repo")
 
 from hcflow_tpu.models import HCFlowSRSpec  # noqa: E402
 
-BASELINE_MPS = None  # A100 reference MP/s (unknown: repo publishes no perf numbers)
+BASELINE_MPS = 2.78  # derived A100 estimate for the torch reference (BASELINE.md)
 
 BATCH = 16
 LR_HW = 40
@@ -38,16 +44,18 @@ def measure(compute_dtype, lr, key):
     params = model.flow.precompute_inference(model.init(jax.random.PRNGKey(0)))
 
     @jax.jit
-    def run(lr):
+    def run(lr, base):
         def body(i, x):
-            out = model.reverse(params, jax.random.fold_in(key, i), x, 0.9)
+            out = model.reverse(params, jax.random.fold_in(key, base + i), x, 0.9)
             return x + out[:, ::SCALE, ::SCALE, :] * 1e-6
         return lax.fori_loop(0, ITERS, body, lr)
 
-    out = run(lr)
+    # warmup and timed calls take different arguments (fold base) so the timed
+    # call cannot be served from the runtime's same-input result cache
+    out = run(lr, 0)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    out = run(lr)
+    out = run(lr, ITERS)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / ITERS
     return BATCH * (LR_HW * SCALE) ** 2 / 1e6 / dt
@@ -77,16 +85,16 @@ def main():
         lr8 = jax.random.uniform(jax.random.PRNGKey(3), (BATCH, 20, 20, 3))
 
         @jax.jit
-        def run8(x):
+        def run8(x, base):
             def body(i, x):
-                out = model8.reverse(p8, jax.random.fold_in(key, i), x, 0.8)
+                out = model8.reverse(p8, jax.random.fold_in(key, base + i), x, 0.8)
                 return x + out[:, ::8, ::8, :] * 1e-6
             return lax.fori_loop(0, ITERS, body, x)
 
-        out = run8(lr8)
+        out = run8(lr8, 0)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
-        out = run8(lr8)
+        out = run8(lr8, ITERS)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / ITERS
         print(f"x8 face path: {BATCH * 160 * 160 / 1e6 / dt:.3f} MP/s", file=sys.stderr)

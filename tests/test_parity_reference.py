@@ -341,3 +341,81 @@ def test_flownet_sr_x8_parity(ref):
     both_nan = np.isnan(got) & np.isnan(want)
     ok = both_nan | (np.abs(got - want) <= 1e-3 + 1e-3 * np.abs(want))
     assert np.mean(ok) > 0.995, f"only {np.mean(ok):.4f} of elements match"
+
+
+# ------------------------------------------------- heat>0 sampling parity (x4 SR)
+@pytest.mark.parametrize("eps_std", [0.5, 0.9])
+def test_reverse_sampling_parity_heat(ref, eps_std):
+    """Temperature sampling parity: inject the SAME eps draws into the reference's
+    GaussianDiag.sample path and our reverse_flow(eps_list=...) and require the SR
+    outputs to agree.  This exercises the prior heads (mean/logs), the eps scaling
+    z = mean + exp(logs)*eps_std*n, and the conditional inverse chains at heat>0 —
+    the paper's headline sampling knob (reference ConditionalFlow.py:60-69,
+    HCFlow_SR_model.py:353-370).  Both sides draw from an identical numpy stream in
+    the same per-level order (deepest level first).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from hcflow_tpu.flow.flownet import FlowNetSpec
+    from hcflow_tpu.utils.convert import convert_flownet
+
+    net = ref.FN4.FlowNet((16, 16, 3), opt=make_sr_opt())
+    # gentler randomization than randomize_: orthogonal invconv weights + 0.03-scale
+    # elsewhere keep the heat>0 inverse numerically sane (finite outputs), so the
+    # comparison is non-degenerate
+    g = torch.Generator().manual_seed(7)
+    for name, p in net.named_parameters():
+        if "haar_weights" in name:
+            continue
+        if "permute.weight" in name:  # InvertibleConv1x1 weight (C, C)
+            q, _ = torch.linalg.qr(torch.randn(p.shape[0], p.shape[1], generator=g))
+            p.data = q.reshape(p.shape)
+        else:
+            p.data = torch.randn(p.shape, generator=g) * 0.03
+    for m in net.modules():
+        if hasattr(m, "inited"):
+            m.inited = True
+    net.eval()
+    spec = FlowNetSpec(
+        L=2, K=(4, 4), after_splitoff=(2, 2), hidden_channels=16,
+        so_hidden_channels=16, rrdb_nb=(1, 1), rrdb_nf=8, rrdb_gc=4,
+    )
+    params = convert_flownet(sd_numpy(net), spec, prefix="")
+
+    g = torch.Generator().manual_seed(11)
+    lr = torch.rand(2, 3, 4, 4, generator=g)
+
+    # shared eps stream: reference consumes via a patched GaussianDiag.sample in
+    # reverse level order (L-1 -> 0); we replay the identical draws per level.
+    rs = np.random.RandomState(123)
+    drawn = []
+
+    def patched_sample(mean, logs, eps_std_arg=None):
+        eps = rs.standard_normal(tuple(mean.shape)).astype(np.float32) * eps_std_arg
+        drawn.append(eps)
+        return mean + torch.exp(logs) * torch.from_numpy(eps)
+
+    orig = ref.Basic.GaussianDiag.sample
+    ref.Basic.GaussianDiag.sample = staticmethod(patched_sample)
+    try:
+        with torch.no_grad():
+            hr_t = net(z=lr, eps_std=eps_std, reverse=True)
+    finally:
+        ref.Basic.GaussianDiag.sample = orig
+    assert len(drawn) == 2  # one prior draw per level
+
+    # eps_list is indexed by level (0 = outermost); torch drew deepest level first
+    eps_list = [jnp.asarray(t2j(torch.from_numpy(e))) for e in reversed(drawn)]
+    hr_j = spec.reverse_flow(
+        params, jax.random.PRNGKey(0), jnp.asarray(t2j(lr)), eps_std,
+        eps_list=eps_list,
+    )
+    got, want = np.asarray(hr_j), t2j(hr_t)
+    assert np.isfinite(want).all(), "reference produced non-finite output"
+    assert np.isfinite(got).all(), "ours produced non-finite output"
+    ok = np.abs(got - want) <= 1e-3 + 1e-3 * np.abs(want)
+    assert np.mean(ok) > 0.995, f"only {np.mean(ok):.4f} of elements match"
+    # and the outputs are genuinely temperature-dependent (non-degenerate test)
+    hr_j0 = spec.reverse_flow(params, jax.random.PRNGKey(0), jnp.asarray(t2j(lr)), 0.0)
+    assert float(jnp.max(jnp.abs(hr_j - hr_j0))) > 1e-3
