@@ -19,6 +19,34 @@ from .imresize import imresize
 from .util import augment, modcrop, paired_random_crop, read_img, scan_images
 
 
+def _image_source(opt: dict, root_key: str):
+    """(names, read_fn) for a dataroot, honoring ``data_type: lmdb``.
+
+    Image-folder roots scan for files and decode with read_img; LMDB roots list
+    keys from meta_info.pkl and read flat BGR uint8 buffers lazily (the reference
+    inits the env on first read — GTLQ_dataset.py:49-62), converting to the
+    framework's RGB float [0,1] convention at this boundary.
+    """
+    root = opt[root_key]
+    if opt.get("data_type") == "lmdb":
+        from .lmdb_backend import LmdbReader, paths_from_lmdb
+
+        keys, sizes = paths_from_lmdb(root)
+        reader_box = [None]
+
+        def read(i: int) -> np.ndarray:
+            if reader_box[0] is None:
+                reader_box[0] = LmdbReader(root)
+            img = reader_box[0].read(keys[i], sizes[i]).astype(np.float32) / 255.0
+            if img.shape[2] == 1:
+                img = np.repeat(img, 3, axis=2)
+            return np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB
+
+        return keys, read
+    paths = scan_images(root)
+    return paths, lambda i: read_img(paths[i])
+
+
 class _Base:
     def __init__(self, opt: dict):
         self.opt = opt
@@ -47,7 +75,7 @@ class GTDataset(_Base):
 
     def __init__(self, opt: dict):
         super().__init__(opt)
-        self.gt_paths = scan_images(opt["dataroot_GT"])
+        self.gt_paths, self._read_gt = _image_source(opt, "dataroot_GT")
         if opt.get("n_max"):
             self.gt_paths = self.gt_paths[: opt["n_max"]]
 
@@ -56,7 +84,7 @@ class GTDataset(_Base):
 
     def __getitem__(self, index):
         rng = self._rng(index)
-        hr = read_img(self.gt_paths[index])
+        hr = self._read_gt(index)
         hr = modcrop(hr, self.scale)
         lr = imresize(hr, 1.0 / self.scale)
         if self.phase == "train":
@@ -70,8 +98,8 @@ class GTLQDataset(_Base):
 
     def __init__(self, opt: dict):
         super().__init__(opt)
-        self.gt_paths = scan_images(opt["dataroot_GT"])
-        self.lq_paths = scan_images(opt["dataroot_LQ"])
+        self.gt_paths, self._read_gt = _image_source(opt, "dataroot_GT")
+        self.lq_paths, self._read_lq = _image_source(opt, "dataroot_LQ")
         assert len(self.gt_paths) == len(self.lq_paths), (
             len(self.gt_paths), len(self.lq_paths))
         if opt.get("n_max"):
@@ -83,8 +111,8 @@ class GTLQDataset(_Base):
 
     def __getitem__(self, index):
         rng = self._rng(index)
-        hr = read_img(self.gt_paths[index])
-        lr = read_img(self.lq_paths[index])
+        hr = self._read_gt(index)
+        lr = self._read_lq(index)
         if self.phase == "train":
             hr, lr = self._train_pair(hr, lr, rng)
         else:
@@ -114,6 +142,8 @@ class GTLQxDataset(GTLQDataset):
                                   os.path.basename(gp).replace(".png", f"x{scale}.png"))
                 for lp, gp in zip(self.lq_paths, self.gt_paths)
             ]
+        self._read_gt = lambda i: read_img(self.gt_paths[i])
+        self._read_lq = lambda i: read_img(self.lq_paths[i])
 
 
 class GTLQnpyDataset(GTLQDataset):
@@ -125,13 +155,13 @@ class LQDataset(_Base):
 
     def __init__(self, opt: dict):
         super().__init__(opt)
-        self.lq_paths = scan_images(opt["dataroot_LQ"])
+        self.lq_paths, self._read_lq = _image_source(opt, "dataroot_LQ")
 
     def __len__(self):
         return len(self.lq_paths)
 
     def __getitem__(self, index):
-        lr = read_img(self.lq_paths[index])
+        lr = self._read_lq(index)
         return {"LQ": lr, "LQ_path": self.lq_paths[index]}
 
 
