@@ -1,16 +1,22 @@
-"""Batch loader: epoch-seeded enlarged-permutation sampling + threaded prefetch.
+"""Batch loader: epoch-seeded enlarged-permutation sampling + multiprocess prefetch.
 
 Behavioral reference: /root/reference/codes/data/data_sampler.py (DistIterSampler with
 dataset enlarged xratio so epoch restarts are rare, deterministic per-epoch
-permutation) and data/__init__.py:7-25 (dataloader construction).
+permutation) and data/__init__.py:7-25 (dataloader construction, ``n_workers``).
 
 TPU-native replacement for torch DataLoader + DistributedSampler: a host-side numpy
 permutation over an enlarged index space, sliced per process for multi-host training,
-with a small thread pool decoding ahead of the accelerator.
+with a fork-based worker pool decoding ahead of the accelerator (PNG decode is
+GIL-bound, so honoring ``n_workers`` needs real processes, not threads).  Batches are
+assigned round-robin and re-ordered on receipt, so worker count never changes the
+batch stream; per-item RNG is (seed, epoch, index)-derived, so placement doesn't
+either.
 """
 
 from __future__ import annotations
 
+import multiprocessing as mp
+import os
 import queue
 import threading
 from typing import Iterator, Optional
@@ -102,11 +108,20 @@ class DataLoader:
         batches = [
             order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(n_batches)
         ]
-        if self.num_workers <= 0:
+        if self.num_workers <= 0 or n_batches == 0:
             for b in batches:
                 yield _collate([self.dataset[int(i)] for i in b])
             return
+        if self.num_workers == 1:
+            yield from self._iter_threaded(batches)
+            return
+        try:
+            yield from self._iter_pool(batches)
+        except OSError:  # fork unavailable (restricted sandbox): degrade gracefully
+            yield from self._iter_threaded(batches)
 
+    def _iter_threaded(self, batches) -> Iterator[dict]:
+        """Single prefetch thread — enough when decode is cheap (pkl/npy in RAM)."""
         q: "queue.Queue" = queue.Queue(maxsize=4)
         stop = threading.Event()
 
@@ -129,6 +144,53 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+    def _iter_pool(self, batches) -> Iterator[dict]:
+        """num_workers forked decode processes; round-robin batch assignment with
+        in-order reassembly (mirrors torch DataLoader semantics: worker count
+        never changes the batch stream)."""
+        ctx = mp.get_context("fork")
+        n_workers = min(self.num_workers, len(batches))
+        result_q = ctx.Queue(maxsize=2 * n_workers)
+
+        def worker(wid: int):
+            try:
+                for j in range(wid, len(batches), n_workers):
+                    items = [self.dataset[int(i)] for i in batches[j]]
+                    result_q.put((j, _collate(items)))
+                result_q.put((-1, wid))
+            except KeyboardInterrupt:
+                pass
+            finally:
+                # skip atexit handlers: the forked child inherits the parent's
+                # accelerator runtime state and must not tear it down
+                result_q.close()
+                result_q.join_thread()
+                os._exit(0)
+
+        procs = [ctx.Process(target=worker, args=(w,), daemon=True) for w in range(n_workers)]
+        for p in procs:
+            p.start()
+        pending: dict = {}
+        next_j, done = 0, 0
+        try:
+            while next_j < len(batches):
+                while next_j not in pending:
+                    j, payload = result_q.get()
+                    if j < 0:
+                        done += 1
+                        if done == n_workers and next_j not in pending and len(pending) == 0:
+                            raise RuntimeError("decode workers exited before finishing")
+                        continue
+                    pending[j] = payload
+                yield pending.pop(next_j)
+                next_j += 1
+        finally:
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
+            for p in procs:
+                p.join(timeout=5)
 
 
 def create_dataloader(dataset, dataset_opt: dict, sampler=None, num_replicas: int = 1):

@@ -249,3 +249,47 @@ def test_gtlq_dataset_lmdb_mode(tmp_path):
     np.testing.assert_allclose(item["GT"], hr_rgb[key0].astype(np.float32) / 255.0)
     np.testing.assert_allclose(item["LQ"], lr_rgb[key0].astype(np.float32) / 255.0)
     assert item["GT_path"] == key0
+
+
+# ----------------------------------------------------------- multiprocess decode
+def test_pool_loader_matches_sync_stream():
+    """The fork-pool loader must yield the exact same batch stream as the
+    synchronous path (round-robin + in-order reassembly; per-item RNG is
+    index-seeded so worker placement cannot alter augmentation)."""
+    from hcflow_tpu.data.datasets import create_dataset
+    from hcflow_tpu.data.loader import DataLoader
+
+    opt = {
+        "mode": "GT", "phase": "train", "scale": 4, "GT_size": 32,
+        "use_flip": True, "use_rot": True,
+        "dataroot_GT": "/root/reference/datasets/example_face_8X/HR",
+    }
+    ds = create_dataset(opt)
+    sync = DataLoader(ds, batch_size=2, shuffle=True, drop_last=True, num_workers=0)
+    pool = DataLoader(ds, batch_size=2, shuffle=True, drop_last=True, num_workers=3)
+    sync.set_epoch(1), pool.set_epoch(1)
+    got_s = list(sync)
+    got_p = list(pool)
+    assert len(got_s) == len(got_p) == 3
+    for bs, bp in zip(got_s, got_p):
+        np.testing.assert_array_equal(bs["GT"], bp["GT"])
+        np.testing.assert_array_equal(bs["LQ"], bp["LQ"])
+        assert bs["GT_path"] == bp["GT_path"]
+
+
+def test_pool_loader_early_close_cleans_up():
+    """Closing the iterator mid-epoch terminates the worker processes."""
+    import multiprocessing as mp
+
+    from hcflow_tpu.data.datasets import create_dataset
+    from hcflow_tpu.data.loader import DataLoader
+
+    ds = create_dataset({
+        "mode": "GT", "phase": "train", "scale": 4, "GT_size": 32,
+        "dataroot_GT": "/root/reference/datasets/example_face_8X/HR",
+    })
+    dl = DataLoader(ds, batch_size=1, num_workers=2)
+    it = iter(dl)
+    next(it)
+    it.close()
+    assert len(mp.active_children()) == 0
