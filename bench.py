@@ -5,8 +5,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Headline: HR megapixels/second for the full reverse flow of the flagship x4 DF2K
 topology (K=26, L=2, RRDB_nb=(7,7), nf=64 — train_SR_DF2K_4X_HCFlow.yml shape) in the
 serving configuration: bf16 coupling/encoder nets (f32 accumulate; invertible
-arithmetic f32), scatter-form dense blocks, hoisted cond convs, and precomputed
-invconv inverses.  Batch 16, 40x40 LR -> 160x160 HR.
+arithmetic f32), scatter-form dense blocks, hoisted cond convs, precomputed invconv
+inverses, and the fused Pallas inverse-chain kernel (ops/pallas_chain.py) for all
+four flow-step chains.  Batch 16, 40x40 LR -> 160x160 HR.
 
 Timing uses an in-graph fori_loop (per-iteration key folding) so the result is not
 polluted by per-call dispatch or the runtime's same-input result caching, and the
@@ -41,7 +42,9 @@ ITERS = 10
 
 def measure(compute_dtype, lr, key):
     model = HCFlowSRSpec.for_scale(SCALE, compute_dtype=compute_dtype)
-    params = model.flow.precompute_inference(model.init(jax.random.PRNGKey(0)))
+    params = model.flow.precompute_inference(
+        model.init(jax.random.PRNGKey(0)), fused=True
+    )
 
     @jax.jit
     def run(lr, base):
@@ -81,7 +84,9 @@ def main():
         from hcflow_tpu.models import HCFlowSRSpec as _S
 
         model8 = _S.for_scale(8, compute_dtype="bfloat16")
-        p8 = model8.flow.precompute_inference(model8.init(jax.random.PRNGKey(0)))
+        p8 = model8.flow.precompute_inference(
+            model8.init(jax.random.PRNGKey(0)), fused=True
+        )
         lr8 = jax.random.uniform(jax.random.PRNGKey(3), (BATCH, 20, 20, 3))
 
         @jax.jit

@@ -139,6 +139,16 @@ class ConditionalFlowSpec:
     def _run_steps(self, params, z, cond, logdet, inverse: bool):
         """Dispatch to the hoisted fast path when the coupling supports it."""
         ss = self.step_spec
+        if inverse and params.get("steps_fused") is not None:
+            from ..ops import pallas_chain
+
+            cs = pallas_chain.ChainSpec(
+                K=self.n_flow_step, c=self.a_channels, hidden=self.hidden_channels,
+                H=z.shape[1], W=z.shape[2], cond=True, compute_dtype=self.compute_dtype,
+            )
+            if cs.vmem_estimate() <= pallas_chain.VMEM_BUDGET:
+                uc = stack.compute_u_contribs(ss, params["steps"], cond)
+                return pallas_chain.inverse_chain(cs, params["steps_fused"], z, uc), logdet
         if ss.coupling_spec is not None and ss.coupling_spec.supports_hoisting:
             fn = stack.inverse_stack_hoisted if inverse else stack.forward_stack_hoisted
         else:

@@ -171,13 +171,25 @@ class FlowNetSpec:
         return stack.forward_stack(lv.main_spec, main_params, z, None, logdet,
                                    unroll=self.scan_unroll, remat=self.remat_steps)
 
-    def _main_inverse(self, lv: LevelSpec, main_params, z, logdet):
+    def _main_inverse(self, lv: LevelSpec, level_params, z, logdet):
         if lv.n_main == 0:
             return z, logdet
+        main_params = level_params["main"]
         if lv.alternate_lrvsothers:
             for k in reversed(range(lv.n_main)):
                 z, logdet = lv.main_step_spec(k).inverse(main_params[k], z, None, logdet)
             return z, logdet
+        packed = level_params.get("main_fused")
+        if packed is not None:
+            from ..ops import pallas_chain
+
+            cs = pallas_chain.ChainSpec(
+                K=lv.n_main, c=lv.channels, hidden=self.hidden_channels,
+                H=z.shape[1], W=z.shape[2], cond=False,
+                compute_dtype=self.compute_dtype,
+            )
+            if cs.vmem_estimate() <= pallas_chain.VMEM_BUDGET:
+                return pallas_chain.inverse_chain(cs, packed, z), logdet
         return stack.inverse_stack(lv.main_spec, main_params, z, None, logdet,
                                    unroll=self.scan_unroll, remat=self.remat_steps)
 
@@ -237,7 +249,7 @@ class FlowNetSpec:
             )
             z = jnp.concatenate([z, a], axis=-1)
             zeros = jnp.zeros((z.shape[0],), z.dtype)
-            z, _ = self._main_inverse(lv, params[f"level{i}"]["main"], z, zeros)
+            z, _ = self._main_inverse(lv, params[f"level{i}"], z, zeros)
             z = self._unsqueeze(z)
         return z
 
@@ -268,13 +280,18 @@ class FlowNetSpec:
         return z, eps_list
 
     # --------------------------------------------------------------- inference prep
-    def precompute_inference(self, params: dict) -> dict:
+    def precompute_inference(self, params: dict, fused: bool = False) -> dict:
         """Attach batched invconv inverses/logdets to the params for serving.
 
         Run once after loading a checkpoint: removes all LU factorizations from the
         jitted hot path (they otherwise run per reverse/forward call).
+
+        fused=True additionally packs every eligible step chain (Affine+FCN+invconv)
+        for the fused Pallas inverse kernel (ops/pallas_chain.py) — the serving fast
+        path on TPU.  Training params must never carry these (no VJP).
         """
         from ..ops import invconv as invconv_mod
+        from ..ops import pallas_chain
 
         new = {}
         for lv in self.levels:
@@ -290,11 +307,35 @@ class FlowNetSpec:
             elif lv.n_main > 0 and "invconv" in main:
                 main = stack._augment_invconv(main, need_inv=True, need_logdet=True)
             lp["main"] = main
+            if (
+                fused
+                and lv.n_main > 0
+                and not lv.alternate_lrvsothers
+                and pallas_chain.supported(lv.main_spec)
+            ):
+                cs = pallas_chain.ChainSpec(
+                    K=lv.n_main, c=lv.channels, hidden=self.hidden_channels,
+                    H=0, W=0, cond=False, compute_dtype=self.compute_dtype,
+                )
+                lp["main_fused"] = pallas_chain.pack_inverse_chain(cs, main)
             cond = dict(lp["cond"])
             if "steps" in cond and "invconv" in cond["steps"]:
                 cond["steps"] = stack._augment_invconv(
                     cond["steps"], need_inv=True, need_logdet=True
                 )
+                so = lv.cond_spec
+                if (
+                    fused
+                    and pallas_chain.supported(so.step_spec)
+                    and so.step_spec.coupling_spec.supports_hoisting
+                ):
+                    cs = pallas_chain.ChainSpec(
+                        K=so.n_flow_step, c=so.a_channels, hidden=so.hidden_channels,
+                        H=0, W=0, cond=True, compute_dtype=so.compute_dtype,
+                    )
+                    cond["steps_fused"] = pallas_chain.pack_inverse_chain(
+                        cs, cond["steps"]
+                    )
             lp["cond"] = cond
             new[f"level{lv.level}"] = lp
         return new
