@@ -22,6 +22,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..data import create_dataloader, create_dataset
 from ..data.loader import EnlargedSampler
@@ -46,6 +47,7 @@ from ..utils.checkpoint import (
     load_checkpoint,
     prune_checkpoints,
     save_checkpoint,
+    wait_for_saves,
 )
 from ..utils.logging import TBWriter, setup_logger
 from .evaluate import Evaluator
@@ -204,12 +206,20 @@ def main(argv=None):
         )
 
     # ----------------------------------------------------------------- resume
+    ckpt_backend = opt_get(opt, ["path", "checkpoint_backend"], "pickle")
     start_step = 0
     if opt_get(opt, ["path", "resume_state"]) == "auto":
         latest = latest_checkpoint(paths["training_state"], ".state")
         if latest:
             logger.info(f"auto-resuming from {latest}")
-            saved = load_checkpoint(latest)
+            state_like = {
+                "step": np.asarray(0), "params": state.params,
+                "opt_state": state.opt_state,
+                "d_params": d_state.params if d_state else None,
+                "d_opt_state": d_state.opt_state if d_state else None,
+                "epoch": np.asarray(0),
+            }
+            saved = load_checkpoint(latest, like=state_like)
             state = state.replace(
                 step=jnp.asarray(saved["step"]), params=saved["params"],
                 opt_state=saved["opt_state"],
@@ -250,6 +260,7 @@ def main(argv=None):
         save_checkpoint(
             os.path.join(paths["models"], f"{tag_step}_G.ckpt"),
             {"params": state.params, "step": tag_step},
+            backend=ckpt_backend,
         )
         save_checkpoint(
             os.path.join(paths["training_state"], f"{tag_step}.state"),
@@ -261,6 +272,7 @@ def main(argv=None):
                 "d_opt_state": d_state.opt_state if d_state else None,
                 "epoch": epoch,
             },
+            backend=ckpt_backend,
         )
         prune_checkpoints(paths["models"], "_G.ckpt", keep=2, keep_period=5000)
         prune_checkpoints(paths["training_state"], ".state", keep=2, keep_period=5000)
@@ -363,7 +375,9 @@ def main(argv=None):
     save_checkpoint(
         os.path.join(paths["models"], "latest_G.ckpt"),
         {"params": state.params, "step": step},
+        backend=ckpt_backend,
     )
+    wait_for_saves()
     tb.close()
     logger.info("end of training")
     return state
