@@ -37,6 +37,7 @@ class Evaluator:
         scale: int = 4,
         crop_border: Optional[int] = None,
         lpips_fn: Optional[Callable] = None,
+        lpips_label: str = "lpips",
         logger=None,
         save_dir: Optional[str] = None,
         suffix: str = "",
@@ -49,6 +50,7 @@ class Evaluator:
         self.scale = scale
         self.crop_border = scale if crop_border is None else crop_border
         self.lpips_fn = lpips_fn
+        self.lpips_label = lpips_label
         self.logger = logger
         self.save_dir = save_dir
         self.suffix = suffix
@@ -147,7 +149,7 @@ class Evaluator:
                         per_image[f"bic_psnr@{heat}"].append(bm[0])
                         per_image[f"bic_ssim@{heat}"].append(bm[1])
                         if self.lpips_fn is not None:
-                            per_image[f"lpips@{heat}"].append(
+                            per_image[f"{self.lpips_label}@{heat}"].append(
                                 float(self.lpips_fn(gt_img, sr_img))
                             )
                 if not real_image and "GT" in batch:

@@ -54,6 +54,17 @@ def main(argv=None):
 
     lpips_path = config_mod.opt_get(opt, ["path", "lpips_npz"], "weights/lpips_alex.npz")
     lpips_params = lpips_mod.load(lpips_path)
+    lpips_label = "lpips"
+    if lpips_params is None and config_mod.opt_get(
+        opt, ["val", "lpips_fallback"], "random"
+    ) == "random":
+        logger.warning(
+            f"no LPIPS weights at {lpips_path}; reporting 'lpips_rand' (He-init "
+            "random AlexNet, uniform lin weights — NOT comparable to true LPIPS; "
+            "see models/lpips.py:random_params; val.lpips_fallback: off disables)"
+        )
+        lpips_params = lpips_mod.random_params(seed=0)
+        lpips_label = "lpips_rand"
     lpips_fn = lpips_mod.make_metric(lpips_params) if lpips_params else None
     if lpips_fn is None:
         logger.info(f"LPIPS disabled (no weights at {lpips_path})")
@@ -72,6 +83,7 @@ def main(argv=None):
             n_sample=n_sample,
             scale=opt.get("scale", 4),
             lpips_fn=lpips_fn,
+            lpips_label=lpips_label,
             logger=logger,
             save_dir=save_dir,
             suffix=opt.get("suffix") or "",

@@ -162,12 +162,24 @@ def main(argv=None):
         vgg_path = opt_get(opt, ["path", "vgg19_npz"], "weights/vgg19_features.npz")
         f_params = load_npz(vgg_path)
         if f_params is None:
-            logger.warning(
-                f"feature_weight={fea_weight} but no VGG weights at {vgg_path}; "
-                "perceptual loss DISABLED (no pretrained download in this environment)"
-            )
-            fea_weight = 0
-        else:
+            fallback = opt_get(opt, ["train", "feature_fallback"], "random")
+            if fallback == "random":
+                from ..models.vgg import random_features
+
+                logger.warning(
+                    f"no pretrained VGG weights at {vgg_path}; using DETERMINISTIC "
+                    "RANDOM He-init VGG features as the perceptual loss (documented "
+                    "substitute — see models/vgg.py:random_features; set "
+                    "train.feature_fallback: off to disable instead)"
+                )
+                f_params = random_features(seed=0)
+            else:
+                logger.warning(
+                    f"feature_weight={fea_weight} but no VGG weights at {vgg_path} "
+                    "and feature_fallback=off; perceptual loss DISABLED"
+                )
+                fea_weight = 0
+        if fea_weight:
             f_apply = f_spec.apply
 
     if is_rescaling:

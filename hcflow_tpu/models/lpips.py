@@ -120,6 +120,32 @@ def convert_lpips_torch(sd) -> dict:
     return params
 
 
+def random_params(seed: int = 0) -> dict:
+    """Deterministic He-init random AlexNet LPIPS — the documented substitute when
+    the learned weights are unavailable (zero-egress environment).
+
+    Random-feature perceptual distances correlate with human judgments well above
+    pixel metrics (Zhang et al. 2018, CVPR — Table 5 reports untrained nets beating
+    L2/SSIM; see also He et al., NeurIPS 2016 on random-weight deep features).  The
+    learned per-channel lin weights are replaced by a uniform 1/C average.  Callers
+    must label the metric distinctly (``lpips_rand``) — values are NOT comparable to
+    true LPIPS numbers.
+    """
+    key = jax.random.PRNGKey(seed)
+    params = {}
+    cin = 3
+    for i, (cout, k, _, _) in enumerate(_ALEX):
+        key, sub = jax.random.split(key)
+        std = float(np.sqrt(2.0 / (k * k * cin)))
+        params[f"conv{i}"] = {
+            "w": jax.random.normal(sub, (k, k, cin, cout)) * std,
+            "b": jnp.zeros((cout,)),
+        }
+        params[f"lin{i}"] = {"w": jnp.full((cout,), 1.0 / cout)}
+        cin = cout
+    return params
+
+
 def save_npz(path: str, params: dict) -> None:
     flat = {f"{k}/{lk}": np.asarray(v) for k, sub in params.items() for lk, v in sub.items()}
     np.savez(path, **flat)

@@ -81,6 +81,29 @@ class VGG19FeatureSpec:
         return x
 
 
+def random_features(seed: int = 0) -> dict:
+    """Deterministic He-initialized random VGG19 features — the documented
+    perceptual-loss substitute when pretrained weights are unavailable.
+
+    Randomly-weighted convnet features are an established perceptual
+    representation (He, Wang & Hopcroft, "A Powerful Generative Model Using
+    Random Weights for the Deep Image Representation", NeurIPS 2016; Ulyanov et
+    al., "Deep Image Prior", CVPR 2018): the multi-scale conv+ReLU structure —
+    not the learned filters — supplies most of the metric's sensitivity to
+    texture and structure.  Weaker than ImageNet-pretrained conv5_4 features but
+    a functional training signal; He init (std = sqrt(2/fan_in)) keeps
+    activation variance stable through all 16 conv layers.
+    """
+    spec = VGG19FeatureSpec()
+    params = spec.init(jax.random.PRNGKey(seed))
+    out = {}
+    for name, p in params.items():
+        fan_in = p["w"].shape[0] * p["w"].shape[1] * p["w"].shape[2]
+        std = float(np.sqrt(2.0 / fan_in))
+        out[name] = {"w": p["w"] / 0.02 * std, "b": p["b"]}
+    return out
+
+
 def convert_torch_state_dict(sd) -> dict:
     """torchvision vgg19().features state_dict -> pytree (keys 'features.<i>.weight')."""
     spec = VGG19FeatureSpec()

@@ -51,3 +51,36 @@ def test_lpips_metric_wrapper():
     img = np.random.default_rng(0).random((32, 32, 3)).astype(np.float32)
     assert metric(img, img) < 1e-6
     assert metric(img, 1 - img) > 0
+
+
+def test_random_fallbacks_are_usable_perceptual_signals():
+    """The documented zero-egress substitutes: He-init random AlexNet LPIPS and
+    random VGG features must be deterministic and rank distortions sensibly
+    (identity < mild noise < heavy noise)."""
+    from hcflow_tpu.models.vgg import VGG19FeatureSpec, random_features
+
+    rp = lpips.random_params(seed=0)
+    rp2 = lpips.random_params(seed=0)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        rp, rp2,
+    )
+    metric = lpips.make_metric(rp)
+    rng = np.random.default_rng(0)
+    img = rng.random((32, 32, 3)).astype(np.float32)
+    mild = np.clip(img + 0.05 * rng.standard_normal(img.shape), 0, 1).astype(np.float32)
+    heavy = np.clip(img + 0.4 * rng.standard_normal(img.shape), 0, 1).astype(np.float32)
+    d0, d1, d2 = metric(img, img), metric(img, mild), metric(img, heavy)
+    assert d0 < 1e-6 and d0 < d1 < d2, (d0, d1, d2)
+
+    vp = random_features(seed=0)
+    spec = VGG19FeatureSpec()
+    f = jax.jit(spec.apply)
+    fa = f(vp, jnp.asarray(img)[None])
+    assert bool(jnp.all(jnp.isfinite(fa)))
+    # He init keeps feature magnitudes in a healthy range through 16 layers
+    scale = float(jnp.abs(fa).mean())
+    assert 1e-3 < scale < 1e3, scale
+    e1 = float(jnp.abs(fa - f(vp, jnp.asarray(mild)[None])).mean())
+    e2 = float(jnp.abs(fa - f(vp, jnp.asarray(heavy)[None])).mean())
+    assert 0 < e1 < e2, (e1, e2)
