@@ -147,7 +147,10 @@ class ConditionalFlowSpec:
                 H=z.shape[1], W=z.shape[2], cond=True, compute_dtype=self.compute_dtype,
             )
             if cs.vmem_estimate() <= pallas_chain.VMEM_BUDGET:
-                uc = stack.compute_u_contribs(ss, params["steps"], cond)
+                uc = stack.compute_u_contribs_packed(
+                    ss, params["steps"], cond,
+                    pallas_chain._rup(cs.N, 128), cs.net_dtype,
+                )
                 return pallas_chain.inverse_chain(cs, params["steps_fused"], z, uc), logdet
         if ss.coupling_spec is not None and ss.coupling_spec.supports_hoisting:
             fn = stack.inverse_stack_hoisted if inverse else stack.forward_stack_hoisted

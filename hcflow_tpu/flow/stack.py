@@ -111,6 +111,31 @@ def compute_u_contribs(spec: FlowStepSpec, stacked: dict, u: jnp.ndarray) -> jnp
     return jnp.transpose(uc.reshape(B, H, W, K, hidden), (3, 0, 1, 2, 4))
 
 
+def compute_u_contribs_packed(spec: FlowStepSpec, stacked: dict, u: jnp.ndarray,
+                              n_pad: int, dtype) -> jnp.ndarray:
+    """compute_u_contribs staged for the fused Pallas chain: (B*K, hidden, n_pad).
+
+    Same one-wide-conv math, but the result goes straight to the kernel's HBM
+    layout (channels-in-sublanes, spatial-in-lanes, lane dim padded to the DMA
+    tile) with a single low-precision transpose instead of two f32 ones.
+    """
+    from ..ops import nets
+
+    w = stacked["coupling"]["f"]["conv1"]["w"]  # (K, kh, kw, fin, hidden)
+    K, kh, kw, fin, hidden = w.shape
+    cond = spec.cond_channels
+    w_u = w[:, :, :, fin - cond :, :]
+    w_wide = jnp.transpose(w_u, (1, 2, 3, 0, 4)).reshape(kh, kw, cond, K * hidden)
+    uc = nets.conv2d(u, w_wide, compute_dtype=spec.compute_dtype)  # (B,H,W,K*hid)
+    B, H, W, _ = uc.shape
+    N = H * W
+    uc = uc.astype(dtype).reshape(B, N, K, hidden)
+    uc = jnp.transpose(uc, (0, 2, 3, 1))  # (B, K, hidden, N)
+    if n_pad != N:
+        uc = jnp.pad(uc, ((0, 0), (0, 0), (0, 0), (0, n_pad - N)))
+    return uc.reshape(B * K, hidden, n_pad)
+
+
 def forward_stack_hoisted(spec: FlowStepSpec, stacked: dict, z, u, logdet,
                           unroll: int = 1, remat: bool = False):
     stacked = _augment_invconv(stacked, need_inv=False, need_logdet=True)

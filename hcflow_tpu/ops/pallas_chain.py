@@ -341,20 +341,26 @@ def _build_call(spec: ChainSpec, B: int, interpret: bool):
 
 def inverse_chain(spec: ChainSpec, packed: dict, z: jnp.ndarray, uc=None,
                   interpret: Optional[bool] = None) -> jnp.ndarray:
-    """Run the fused inverse chain. z: NHWC (B, H, W, c); uc: (K, B, H, W, hidden)
-    hoisted cond contributions (required iff spec.cond). Returns NHWC."""
+    """Run the fused inverse chain. z: NHWC (B, H, W, c).  uc (required iff
+    spec.cond): hoisted cond contributions, either (K, B, H, W, hidden) from
+    stack.compute_u_contribs or pre-staged (B*K, hidden, N_pad128) from
+    stack.compute_u_contribs_packed.  Returns NHWC."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B = z.shape[0]
     zt = jnp.transpose(z.astype(jnp.float32), (0, 3, 1, 2)).reshape(B, spec.c, spec.N)
     args = [zt[:, : spec.c1], zt[:, spec.c1 :]]
     if spec.cond:
-        u = jnp.transpose(uc, (1, 0, 4, 2, 3)).reshape(
-            B * spec.K, spec.hidden, spec.N
-        )
         np_ = _rup(spec.N, 128)
-        if np_ != spec.N:
-            u = jnp.pad(u, ((0, 0), (0, 0), (0, np_ - spec.N)))
+        if uc.ndim == 5:
+            u = jnp.transpose(uc, (1, 0, 4, 2, 3)).reshape(
+                B * spec.K, spec.hidden, spec.N
+            )
+            if np_ != spec.N:
+                u = jnp.pad(u, ((0, 0), (0, 0), (0, np_ - spec.N)))
+        else:
+            u = uc
+            assert u.shape == (B * spec.K, spec.hidden, np_), u.shape
         args.append(u.astype(spec.net_dtype))
     args += [packed[k] for k in _PACK_ORDER]
     z1, z2 = _build_call(spec, B, interpret)(*args)
