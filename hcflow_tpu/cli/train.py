@@ -128,9 +128,13 @@ def main(argv=None):
     params = model_spec.init(k_init)
 
     pretrain = opt_get(opt, ["path", "pretrain_model_G"])
-    if pretrain and os.path.isfile(pretrain):
+    if pretrain and os.path.exists(pretrain):  # orbax checkpoints are directories
         logger.info(f"loading pretrained G from {pretrain}")
-        loaded = load_any(pretrain, model_spec.flow)
+        loaded = load_any(
+            pretrain, model_spec.flow,
+            like={"params": params, "step": np.asarray(0)}
+            if os.path.isdir(pretrain) else None,
+        )
         params = loaded["params"] if isinstance(loaded, dict) and "params" in loaded else loaded
 
     # --------------------------------------------------------------- trainers

@@ -101,17 +101,31 @@ class ConditionalFlowSpec:
         return params
 
     # ------------------------------------------------------------------- encoder
+    def _trunk(self, params: dict, name: str, x: jnp.ndarray, cd):
+        """One RRDB trunk: fused Pallas path when packed weights are attached
+        (serving) and the spatial size fits VMEM; XLA scan otherwise."""
+        fused = params.get(f"{name}_fused")
+        if fused is not None:
+            from ..ops import pallas_rdb
+
+            spec = pallas_rdb.RDBSpec(
+                nf=self.rrdb_nf, gc=self.rrdb_gc, H=x.shape[1], W=x.shape[2],
+                compute_dtype=cd,
+            )
+            if spec.vmem_estimate() <= pallas_rdb.VMEM_BUDGET:
+                return pallas_rdb.trunk_apply(spec, fused, x)
+        return nets.apply_rrdb_trunk(params[name], x, cd, remat=self.remat_trunks)
+
     def cond_feature(self, params: dict, u: jnp.ndarray) -> jnp.ndarray:
         cd = self.encoder_dtype if self.encoder_dtype is not None else self.compute_dtype
         first = nets.conv2d(
             u, params["conv_first"]["w"], params["conv_first"]["b"], compute_dtype=cd
         )
-        rm = self.remat_trunks
         if self.sr:
-            feat1 = nets.apply_rrdb_trunk(params["trunk0"], first, cd, remat=rm)
+            feat1 = self._trunk(params, "trunk0", first, cd)
             feat2 = (
                 nets.conv2d(
-                    nets.apply_rrdb_trunk(params["trunk1"], feat1, cd, remat=rm),
+                    self._trunk(params, "trunk1", feat1, cd),
                     params["trunk_conv1"]["w"],
                     params["trunk_conv1"]["b"],
                     compute_dtype=cd,
@@ -119,11 +133,10 @@ class ConditionalFlowSpec:
                 + first
             )
             return jnp.concatenate([feat1, feat2], axis=-1)
-        rm = self.remat_trunks
-        feat = nets.apply_rrdb_trunk(params["trunk0"], first, cd, remat=rm)
+        feat = self._trunk(params, "trunk0", first, cd)
         feat = (
             nets.conv2d(
-                nets.apply_rrdb_trunk(params["trunk1"], feat, cd, remat=rm),
+                self._trunk(params, "trunk1", feat, cd),
                 params["trunk_conv1"]["w"],
                 params["trunk_conv1"]["b"],
                 compute_dtype=cd,

@@ -336,6 +336,20 @@ class FlowNetSpec:
                     cond["steps_fused"] = pallas_chain.pack_inverse_chain(
                         cs, cond["steps"]
                     )
+            so = lv.cond_spec
+            # accumulator row blocks are sublane slices at multiples of gc: the
+            # fused trunk needs 8-aligned channel counts (all shipped configs)
+            if fused and so.rrdb_gc % 8 == 0 and so.rrdb_nf % 8 == 0:
+                from ..ops import pallas_rdb
+
+                cd = so.encoder_dtype if so.encoder_dtype is not None else so.compute_dtype
+                rspec = pallas_rdb.RDBSpec(
+                    nf=so.rrdb_nf, gc=so.rrdb_gc, H=0, W=0, compute_dtype=cd
+                )
+                for trunk in ("trunk0", "trunk1"):
+                    cond[f"{trunk}_fused"] = pallas_rdb.pack_rrdb_trunk(
+                        rspec, cond[trunk]
+                    )
             lp["cond"] = cond
             new[f"level{lv.level}"] = lp
         return new

@@ -207,6 +207,8 @@ def _make_kernel(spec: ChainSpec):
     tap_group = spec.tap_group
     groups = [(g, min(g + tap_group, 9)) for g in range(0, 9, tap_group)]
 
+    from .pallas_util import make_tap_masks, tap_roll as _tap_roll
+
     def kernel(*refs):
         if spec.cond:
             (z1i, z2i, uc_hbm, w1, b1, e1, w2, b2, e2, w3, g3, bg3,
@@ -218,18 +220,10 @@ def _make_kernel(spec: ChainSpec):
              z1b, z2b, h1, h2, pg, pacc) = refs
 
         b = pl.program_id(0)
-        n_idx = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
-        col, row = n_idx % W, n_idx // W
-        masks = []
-        for t in range(9):
-            dy, dx = t // 3 - 1, t % 3 - 1
-            m = (col + dx >= 0) & (col + dx < W) & (row + dy >= 0) & (row + dy < H)
-            masks.append(m.astype(jnp.float32))
+        masks = make_tap_masks(H, W)
 
         def tap_roll(x, t):
-            dy, dx = t // 3 - 1, t % 3 - 1
-            off = dy * W + dx
-            return pltpu.roll(x, (-off) % N, 1) if off else x
+            return _tap_roll(x, t, H, W)
 
         z1b[:c1, :] = z1i[0]
         z2b[:c2, :] = z2i[0]

@@ -1,0 +1,225 @@
+"""Fused RRDB (residual-dense-block) Pallas kernel — the serving encoder hot path.
+
+Behavioral reference: /root/reference/codes/models/modules/Basic.py:360-398
+(ResidualDenseBlock_5C / RRDB), the FLOPs-dominant conditioning encoders
+(ConditionalFlow.py:99-110).  After the flow-step chains were fused
+(pallas_chain.py), these encoders are ~85% of the remaining reverse-pass time,
+running at ~34 TFLOP/s under XLA: the dense block's 32/64-channel tensors waste
+most of the 128 MXU/VPU lanes in an NHWC layout.
+
+This kernel runs one whole RRDB (3 dense blocks + residuals) per invocation in a
+channels-in-sublanes / spatial-in-lanes layout:
+
+- the dense block is grouped by SOURCE feature (the scatter form of
+  nets.apply_rdb_scatter): one accumulator holds all five conv outputs as row
+  blocks [conv1 | conv2 | ... | conv5] = (4*gc+nf, N); each source feature
+  contributes one matmul into its row range acc[s*gc:].
+- 3x3 convs use im2col-by-sublane-stacking: 3 taps of the rolled+masked source
+  stack into a (3*cin, N) buffer feeding ONE tall matmul (rows_s, 3*cin) @
+  (3*cin, N) — contraction depth 96/192 and full output rows, vs cin=32 skinny
+  matmuls in the per-tap form.
+- features x1..x4 materialize once each (lrelu of a finished accumulator row
+  block) and stay in VMEM; nothing round-trips HBM inside the RRDB.
+
+Serving-only (no VJP): attached by FlowNetSpec.precompute_inference(fused=True);
+training and the correctness oracle stay on the XLA scatter path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_util import make_tap_masks, tap_roll
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+VMEM_BUDGET = 14 * 2**20
+
+
+@dataclasses.dataclass(frozen=True)
+class RDBSpec:
+    nf: int
+    gc: int
+    H: int
+    W: int
+    compute_dtype: Optional[str] = None
+
+    @property
+    def N(self) -> int:
+        return self.H * self.W
+
+    @property
+    def rows(self) -> int:  # accumulator rows = all conv outputs
+        return 4 * self.gc + self.nf
+
+    @property
+    def net_dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    def vmem_estimate(self) -> int:
+        f32, net = 4, jnp.dtype(self.net_dtype).itemsize
+        n = self.N
+        buf = self.rows * n * f32  # acc
+        buf += 3 * self.nf * n * net  # stack buffer (3 taps x max cin)
+        buf += self.nf * n * f32  # xbuf (in/out aliased saves one)
+        buf += self.gc * n * f32  # xt
+        buf += 2 * self.nf * n * f32  # in + aliased out block
+        srcs = self.nf + 4 * self.gc
+        w = 3 * 9 * srcs * self.rows * net  # upper bound on packed weights
+        return buf + w
+
+
+def _src_slices(nf: int, gc: int):
+    """(in_slice_start, cin, acc_row_offset, rows) per source feature 0..4."""
+    out = []
+    for s in range(5):
+        cin = nf if s == 0 else gc
+        start = 0 if s == 0 else nf + (s - 1) * gc
+        off = s * gc
+        rows = 4 * gc + nf - off
+        out.append((start, cin, off, rows))
+    return out
+
+
+def pack_rrdb(spec: RDBSpec, rrdb_params: dict) -> dict:
+    """Pack one RRDB's params (rdb1..rdb3, each conv1..5 HWIO) for the kernel.
+
+    Per (rdb, source): weights grouped by tap triple, (3, rows_s, 3*cin_s), where
+    rows_s concatenates this source's contribution to convs s+1..5 in conv order
+    (matching the accumulator row blocks).
+    """
+    nd = spec.net_dtype
+    nf, gc = spec.nf, spec.gc
+    packed = {}
+    for r in range(3):
+        rdb = rrdb_params[f"rdb{r + 1}"]
+        ws = [rdb[f"conv{j}"]["w"] for j in range(1, 6)]  # (3,3,cin_j,out_j)
+        bs = [rdb[f"conv{j}"]["b"] for j in range(1, 6)]
+        packed[f"b{r}"] = jnp.concatenate(bs).astype(jnp.float32)  # (rows,)
+        for s, (start, cin, _off, _rows) in enumerate(_src_slices(nf, gc)):
+            # source s feeds convs s+1..5 (conv indices s..4 in 0-base)
+            w_s = jnp.concatenate(
+                [ws[j][:, :, start : start + cin, :] for j in range(s, 5)], axis=-1
+            )  # (3, 3, cin, rows_s)
+            w_s = jnp.transpose(w_s, (0, 1, 3, 2))  # (3, 3, rows, cin)
+            w_s = w_s.reshape(3, 3, w_s.shape[2], cin)  # (grp, tap, rows, cin)
+            w_s = jnp.transpose(w_s, (0, 2, 1, 3)).reshape(
+                3, w_s.shape[2], 3 * cin
+            )  # (grp, rows, 3*cin) with tap-major K blocks
+            packed[f"w{r}_{s}"] = w_s.astype(nd)
+    return packed
+
+
+_PACK_KEYS = tuple(
+    [f"w{r}_{s}" for r in range(3) for s in range(5)] + [f"b{r}" for r in range(3)]
+)
+
+
+def _dot(a, b, nd):
+    prec = None if nd == jnp.bfloat16 else _HIGHEST
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+
+def _make_kernel(spec: RDBSpec):
+    nf, gc, H, W, N = spec.nf, spec.gc, spec.H, spec.W, spec.N
+    rows = spec.rows
+    nd = spec.net_dtype
+    slices = _src_slices(nf, gc)
+
+    def kernel(xin, *refs):
+        wrefs = {k: r for k, r in zip(_PACK_KEYS, refs[: len(_PACK_KEYS)])}
+        xout, xbuf, xt, acc, sbuf = refs[len(_PACK_KEYS) :]
+        masks = make_tap_masks(H, W)
+
+        xbuf[...] = xin[0]
+        for r in range(3):
+            acc[...] = jnp.broadcast_to(wrefs[f"b{r}"][...][:, None], (rows, N))
+            for s, (_start, cin, off, rows_s) in enumerate(slices):
+                src = xbuf[: nf, :] if s == 0 else xt[...]
+                for g in range(3):
+                    for i in range(3):
+                        t = 3 * g + i
+                        rolled = tap_roll(src, t, H, W) * masks[t]
+                        sbuf[i * cin : (i + 1) * cin, :] = rolled.astype(nd)
+                    acc[off:, :] += _dot(
+                        wrefs[f"w{r}_{s}"][g], sbuf[: 3 * cin, :], nd
+                    )
+                if s < 4:
+                    # x_{s+1} = lrelu(conv_{s+1} output) — its row block is complete
+                    v = acc[s * gc : (s + 1) * gc, :]
+                    xt[...] = jnp.where(v > 0, v, 0.2 * v)
+            # RDB residual: out5 rows are the conv5 block
+            xbuf[...] = acc[4 * gc :, :] * 0.2 + xbuf[...]
+        # RRDB residual vs the ORIGINAL input
+        xout[0] = xbuf[...] * 0.2 + xin[0]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call(spec: RDBSpec, B: int, interpret: bool):
+    nd = spec.net_dtype
+    N, nf, gc = spec.N, spec.nf, spec.gc
+    vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec((1, nf, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)]
+    in_specs += [vm()] * len(_PACK_KEYS)
+    scratch = [
+        pltpu.VMEM((nf, N), jnp.float32),  # xbuf
+        pltpu.VMEM((gc, N), jnp.float32),  # xt
+        pltpu.VMEM((spec.rows, N), jnp.float32),  # acc
+        pltpu.VMEM((3 * nf, N), nd),  # tap-stack buffer
+    ]
+    srcs_k = 9 * (nf + 4 * gc)
+    return pl.pallas_call(
+        _make_kernel(spec),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, nf, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nf, N), jnp.float32),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * N * srcs_k * spec.rows // 2,  # rough (rows shrink per src)
+            bytes_accessed=2 * B * nf * N * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+
+def rrdb_apply(spec: RDBSpec, packed: dict, x_cn: jnp.ndarray,
+               interpret: Optional[bool] = None) -> jnp.ndarray:
+    """One fused RRDB on channel-major input (B, nf, H*W) f32."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B = x_cn.shape[0]
+    args = [x_cn] + [packed[k] for k in _PACK_KEYS]
+    return _build_call(spec, B, interpret)(*args)
+
+
+def pack_rrdb_trunk(spec: RDBSpec, trunk_stacked: dict) -> list:
+    """Pack an init_rrdb_trunk stack (leading nb axis) into per-RRDB kernel params."""
+    nb = jax.tree.leaves(trunk_stacked)[0].shape[0]
+    return [
+        pack_rrdb(spec, jax.tree.map(lambda a: a[i], trunk_stacked))
+        for i in range(nb)
+    ]
+
+
+def trunk_apply(spec: RDBSpec, packed_list: list, x_nhwc: jnp.ndarray,
+                interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Fused RRDB trunk on NHWC input: one layout transpose in, one out."""
+    B, H, W, C = x_nhwc.shape
+    x = jnp.transpose(x_nhwc.astype(jnp.float32), (0, 3, 1, 2)).reshape(B, C, H * W)
+    for packed in packed_list:
+        x = rrdb_apply(spec, packed, x, interpret)
+    return jnp.transpose(x.reshape(B, C, H, W), (0, 2, 3, 1))
