@@ -60,11 +60,25 @@ def replicate(tree, mesh: Mesh):
 
 
 def init_distributed() -> tuple[int, int]:
-    """Multi-host (DCN) init; returns (process_index, process_count)."""
+    """Multi-host (DCN) init; returns (process_index, process_count).
+
+    Rendezvous from JAX_COORDINATOR_ADDRESS (+ JAX_NUM_PROCESSES / JAX_PROCESS_ID
+    when the launcher provides them — auto-detected on managed clusters), the
+    analogue of the reference's torchrun/SLURM env rendezvous (dist_util.py:21-58).
+    """
     import os
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
-        jax.distributed.initialize()
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+    if addr:
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(nproc) if nproc else None,
+            process_id=int(pid) if pid else None,
+        )
     return jax.process_index(), jax.process_count()
 
 
