@@ -106,7 +106,7 @@ class ChainSpec:
         buf += self.tap_group * self.sp * n * net  # P group
         buf += _rup(self.fout, 8) * n * f32  # p accumulator
         if self.cond:
-            buf += self.hidden * n * net  # uc scratch
+            buf += 2 * self.hidden * n * net  # double-buffered uc scratch
         w = self.K * (
             9 * self.hidden * _rup(self.c1, 8)
             + self.hidden * self.hidden
@@ -228,10 +228,18 @@ def _make_kernel(spec: ChainSpec):
         z1b[:c1, :] = z1i[0]
         z2b[:c2, :] = z2i[0]
 
+        if spec.cond:
+            # double-buffered uc stream: prefetch step k-1 while computing step k
+            def uc_dma(k):
+                return pltpu.make_async_copy(
+                    uc_hbm.at[b * K + k], ucb.at[k % 2], sem.at[k % 2]
+                )
+
+            uc_dma(K - 1).start()
+
         for k in reversed(range(K)):
-            if spec.cond:
-                dma = pltpu.make_async_copy(uc_hbm.at[b * K + k], ucb, sem)
-                dma.start()
+            if spec.cond and k > 0:
+                uc_dma(k - 1).start()
 
             # conv1: input-gather over 9 taps of the tiny z1
             z1 = z1b[:c1, :]
@@ -240,8 +248,8 @@ def _make_kernel(spec: ChainSpec):
                 zs = tap_roll(z1, t) * masks[t]
                 acc = acc + _dot(w1[k, t], zs.astype(nd), nd)
             if spec.cond:
-                dma.wait()
-                acc = acc + ucb[...][:, :N].astype(jnp.float32)
+                uc_dma(k).wait()
+                acc = acc + ucb[k % 2][:, :N].astype(jnp.float32)
             h1[...] = (
                 jax.nn.relu((acc + b1[k][:, None]) * e1[k][:, None])
             ).astype(h1.dtype)
@@ -311,8 +319,12 @@ def _build_call(spec: ChainSpec, B: int, interpret: bool):
     ]
     if spec.cond:
         # DMA slices must be lane-tile (128) aligned: the staged uc array and its
-        # VMEM landing buffer carry N padded up to a 128 multiple.
-        scratch += [pltpu.VMEM((hid, _rup(N, 128)), nd), pltpu.SemaphoreType.DMA(())]
+        # VMEM landing buffers carry N padded up to a 128 multiple; two slots for
+        # the prefetch pipeline.
+        scratch += [
+            pltpu.VMEM((2, hid, _rup(N, 128)), nd),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
 
     flops_step = 2 * N * hid * (9 * c1 + hid + 9 * sp) + 2 * N * spec.c * spec.c
     return pl.pallas_call(
