@@ -111,7 +111,7 @@ def test_flownet_main_steps_invertible():
     lv = spec.levels[0]
     z0 = squeeze2d(hr)
     z1, _ = spec._main_forward(lv, p["level0"]["main"], z0, jnp.zeros((1,)))
-    z0b, _ = spec._main_inverse(lv, p["level0"]["main"], z1, jnp.zeros((1,)))
+    z0b, _ = spec._main_inverse(lv, p["level0"], z1, jnp.zeros((1,)))
     np.testing.assert_allclose(np.asarray(z0b), np.asarray(z0), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(unsqueeze2d(z0)), np.asarray(hr), atol=1e-6)
 
