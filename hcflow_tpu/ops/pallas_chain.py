@@ -44,7 +44,7 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 
 # Per-cell VMEM ceiling for choosing the fused path; configs whose buffers would not
 # fit (e.g. f32 x8 level-0 at large spatial sizes) fall back to the XLA scan path.
-VMEM_BUDGET = 14 * 2**20
+VMEM_BUDGET = 80 * 2**20
 
 
 def _rup(x: int, m: int) -> int:
@@ -92,7 +92,7 @@ class ChainSpec:
     def tap_group(self) -> int:
         """Taps per conv3 output-scatter matmul, sized so the P buffer stays small."""
         bytes_per = jnp.dtype(self.net_dtype).itemsize
-        budget = 5 * 2**20
+        budget = 20 * 2**20
         g = max(1, budget // max(1, self.sp * self.N * bytes_per))
         return int(min(9, g))
 
@@ -337,6 +337,9 @@ def _build_call(spec: ChainSpec, B: int, interpret: bool):
             jax.ShapeDtypeStruct((B, c2, N), jnp.float32),
         ),
         scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=spec.K * flops_step, bytes_accessed=4 * B * spec.c * N,
             transcendentals=spec.K * N * (hid + c2),

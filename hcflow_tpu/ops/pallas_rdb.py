@@ -13,13 +13,17 @@ channels-in-sublanes / spatial-in-lanes layout:
 - the dense block is grouped by SOURCE feature (the scatter form of
   nets.apply_rdb_scatter): one accumulator holds all five conv outputs as row
   blocks [conv1 | conv2 | ... | conv5] = (4*gc+nf, N); each source feature
-  contributes one matmul into its row range acc[s*gc:].
+  contributes matmuls into its row range acc[s*gc:].
 - 3x3 convs use im2col-by-sublane-stacking: 3 taps of the rolled+masked source
-  stack into a (3*cin, N) buffer feeding ONE tall matmul (rows_s, 3*cin) @
-  (3*cin, N) — contraction depth 96/192 and full output rows, vs cin=32 skinny
-  matmuls in the per-tap form.
+  stack into a (3*cin, N) buffer feeding tall matmuls with contraction depth
+  96/192 — vs cin=32 skinny matmuls in the per-tap form.
 - features x1..x4 materialize once each (lrelu of a finished accumulator row
-  block) and stay in VMEM; nothing round-trips HBM inside the RRDB.
+  block) and stay in VMEM; the RRDB input/output move by explicit DMA (VMEM is
+  the binding constraint: blocked input/output would cost two double-buffered
+  copies, and matmul outputs are chunked to MM_CHUNK rows to bound Mosaic's
+  value temporaries).
+- the spatial dim is padded to a 128-lane multiple for DMA alignment; boundary
+  masks carry an n < N term so pad lanes never contaminate real outputs.
 
 Serving-only (no VJP): attached by FlowNetSpec.precompute_inference(fused=True);
 training and the correctness oracle stay on the XLA scatter path.
@@ -36,11 +40,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_util import make_tap_masks, tap_roll
-
 _HIGHEST = jax.lax.Precision.HIGHEST
 
-VMEM_BUDGET = 14 * 2**20
+VMEM_BUDGET = 80 * 2**20
+MM_CHUNK = 64  # max matmul output rows per call (bounds f32 value temporaries)
+
+
+def _rup(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,6 +63,10 @@ class RDBSpec:
         return self.H * self.W
 
     @property
+    def Np(self) -> int:  # lane-padded spatial size (DMA tile alignment)
+        return _rup(self.H * self.W, 128)
+
+    @property
     def rows(self) -> int:  # accumulator rows = all conv outputs
         return 4 * self.gc + self.nf
 
@@ -65,12 +76,12 @@ class RDBSpec:
 
     def vmem_estimate(self) -> int:
         f32, net = 4, jnp.dtype(self.net_dtype).itemsize
-        n = self.N
+        n = self.Np
         buf = self.rows * n * f32  # acc
         buf += 3 * self.nf * n * net  # stack buffer (3 taps x max cin)
-        buf += self.nf * n * f32  # xbuf (in/out aliased saves one)
+        buf += self.nf * n * f32  # xbuf
         buf += self.gc * n * f32  # xt
-        buf += 2 * self.nf * n * f32  # in + aliased out block
+        buf += 3 * MM_CHUNK * n * f32  # chunked matmul + roll temporaries
         srcs = self.nf + 4 * self.gc
         w = 3 * 9 * srcs * self.rows * net  # upper bound on packed weights
         return buf + w
@@ -107,11 +118,9 @@ def pack_rrdb(spec: RDBSpec, rrdb_params: dict) -> dict:
             # source s feeds convs s+1..5 (conv indices s..4 in 0-base)
             w_s = jnp.concatenate(
                 [ws[j][:, :, start : start + cin, :] for j in range(s, 5)], axis=-1
-            )  # (3, 3, cin, rows_s)
-            w_s = jnp.transpose(w_s, (0, 1, 3, 2))  # (3, 3, rows, cin)
-            w_s = w_s.reshape(3, 3, w_s.shape[2], cin)  # (grp, tap, rows, cin)
-            w_s = jnp.transpose(w_s, (0, 2, 1, 3)).reshape(
-                3, w_s.shape[2], 3 * cin
+            )  # (3, 3, cin, rows_s)  — dims (dy, dx, cin, rows): (grp, tap) = (dy, dx)
+            w_s = jnp.transpose(w_s, (0, 3, 1, 2)).reshape(
+                3, w_s.shape[3], 3 * cin
             )  # (grp, rows, 3*cin) with tap-major K blocks
             packed[f"w{r}_{s}"] = w_s.astype(nd)
     return packed
@@ -131,37 +140,66 @@ def _dot(a, b, nd):
 
 
 def _make_kernel(spec: RDBSpec):
-    nf, gc, H, W, N = spec.nf, spec.gc, spec.H, spec.W, spec.N
+    nf, gc, H, W, N, Np = spec.nf, spec.gc, spec.H, spec.W, spec.N, spec.Np
     rows = spec.rows
     nd = spec.net_dtype
     slices = _src_slices(nf, gc)
 
-    def kernel(xin, *refs):
-        wrefs = {k: r for k, r in zip(_PACK_KEYS, refs[: len(_PACK_KEYS)])}
-        xout, xbuf, xt, acc, sbuf = refs[len(_PACK_KEYS) :]
-        masks = make_tap_masks(H, W)
+    def kernel(*refs):
+        xin = refs[0]  # HBM (B, nf, Np)
+        wrefs = {k: r for k, r in zip(_PACK_KEYS, refs[1 : 1 + len(_PACK_KEYS)])}
+        xout, xbuf, xorig, xt, acc, sbuf, sem = refs[1 + len(_PACK_KEYS) :]
+        b = pl.program_id(0)
 
-        xbuf[...] = xin[0]
+        n_idx = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
+        col, row = n_idx % W, n_idx // W
+        masks = []
+        for t in range(9):
+            dy, dx = t // 3 - 1, t % 3 - 1
+            m = (
+                (n_idx < N)
+                & (col + dx >= 0) & (col + dx < W)
+                & (row + dy >= 0) & (row + dy < H)
+            )
+            masks.append(m.astype(jnp.float32))
+
+        pltpu.make_async_copy(xin.at[b], xorig, sem).start()
+        pltpu.make_async_copy(xin.at[b], xorig, sem).wait()
+        xbuf[...] = xorig[...]
+
         for r in range(3):
-            acc[...] = jnp.broadcast_to(wrefs[f"b{r}"][...][:, None], (rows, N))
+            # bias init + source contributions, matmuls chunked to MM_CHUNK rows
+            for r0 in range(0, rows, MM_CHUNK):
+                r1 = min(r0 + MM_CHUNK, rows)
+                acc[r0:r1, :] = jnp.broadcast_to(
+                    wrefs[f"b{r}"][r0:r1][:, None], (r1 - r0, Np)
+                )
             for s, (_start, cin, off, rows_s) in enumerate(slices):
-                src = xbuf[: nf, :] if s == 0 else xt[...]
+                src = xbuf[:nf, :] if s == 0 else xt[...]
                 for g in range(3):
                     for i in range(3):
+                        # roll over the PADDED lane dim; masks zero pad/boundary
                         t = 3 * g + i
-                        rolled = tap_roll(src, t, H, W) * masks[t]
-                        sbuf[i * cin : (i + 1) * cin, :] = rolled.astype(nd)
-                    acc[off:, :] += _dot(
-                        wrefs[f"w{r}_{s}"][g], sbuf[: 3 * cin, :], nd
-                    )
+                        dy, dx = t // 3 - 1, t % 3 - 1
+                        offr = dy * W + dx
+                        v = pltpu.roll(src, (-offr) % Np, 1) if offr else src
+                        sbuf[i * cin : (i + 1) * cin, :] = (v * masks[t]).astype(nd)
+                    wg = wrefs[f"w{r}_{s}"]
+                    for r0 in range(0, rows_s, MM_CHUNK):
+                        r1 = min(r0 + MM_CHUNK, rows_s)
+                        acc[off + r0 : off + r1, :] += _dot(
+                            wg[g, r0:r1, :], sbuf[: 3 * cin, :], nd
+                        )
                 if s < 4:
                     # x_{s+1} = lrelu(conv_{s+1} output) — its row block is complete
                     v = acc[s * gc : (s + 1) * gc, :]
                     xt[...] = jnp.where(v > 0, v, 0.2 * v)
             # RDB residual: out5 rows are the conv5 block
             xbuf[...] = acc[4 * gc :, :] * 0.2 + xbuf[...]
-        # RRDB residual vs the ORIGINAL input
-        xout[0] = xbuf[...] * 0.2 + xin[0]
+        # RRDB residual vs the ORIGINAL input, then DMA out
+        xbuf[...] = xbuf[...] * 0.2 + xorig[...]
+        pltpu.make_async_copy(xbuf, xout.at[b], sem).start()
+        pltpu.make_async_copy(xbuf, xout.at[b], sem).wait()
 
     return kernel
 
@@ -169,27 +207,32 @@ def _make_kernel(spec: RDBSpec):
 @functools.lru_cache(maxsize=None)
 def _build_call(spec: RDBSpec, B: int, interpret: bool):
     nd = spec.net_dtype
-    N, nf, gc = spec.N, spec.nf, spec.gc
+    Np, nf, gc = spec.Np, spec.nf, spec.gc
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-    in_specs = [pl.BlockSpec((1, nf, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     in_specs += [vm()] * len(_PACK_KEYS)
     scratch = [
-        pltpu.VMEM((nf, N), jnp.float32),  # xbuf
-        pltpu.VMEM((gc, N), jnp.float32),  # xt
-        pltpu.VMEM((spec.rows, N), jnp.float32),  # acc
-        pltpu.VMEM((3 * nf, N), nd),  # tap-stack buffer
+        pltpu.VMEM((nf, Np), jnp.float32),  # xbuf (working feature)
+        pltpu.VMEM((nf, Np), jnp.float32),  # xorig (RRDB residual base)
+        pltpu.VMEM((gc, Np), jnp.float32),  # xt
+        pltpu.VMEM((spec.rows, Np), jnp.float32),  # acc
+        pltpu.VMEM((3 * nf, Np), nd),  # tap-stack buffer
+        pltpu.SemaphoreType.DMA(()),
     ]
     srcs_k = 9 * (nf + 4 * gc)
     return pl.pallas_call(
         _make_kernel(spec),
         grid=(B,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, nf, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nf, N), jnp.float32),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct((B, nf, Np), jnp.float32),
         scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=3 * 2 * N * srcs_k * spec.rows // 2,  # rough (rows shrink per src)
-            bytes_accessed=2 * B * nf * N * 4,
+            flops=3 * 2 * spec.N * srcs_k * spec.rows // 2,  # rough (rows shrink)
+            bytes_accessed=2 * B * nf * Np * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -198,7 +241,7 @@ def _build_call(spec: RDBSpec, B: int, interpret: bool):
 
 def rrdb_apply(spec: RDBSpec, packed: dict, x_cn: jnp.ndarray,
                interpret: Optional[bool] = None) -> jnp.ndarray:
-    """One fused RRDB on channel-major input (B, nf, H*W) f32."""
+    """One fused RRDB on channel-major input (B, nf, Np) f32 (lane-padded)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B = x_cn.shape[0]
@@ -220,6 +263,9 @@ def trunk_apply(spec: RDBSpec, packed_list: list, x_nhwc: jnp.ndarray,
     """Fused RRDB trunk on NHWC input: one layout transpose in, one out."""
     B, H, W, C = x_nhwc.shape
     x = jnp.transpose(x_nhwc.astype(jnp.float32), (0, 3, 1, 2)).reshape(B, C, H * W)
+    if spec.Np != spec.N:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, spec.Np - spec.N)))
     for packed in packed_list:
         x = rrdb_apply(spec, packed, x, interpret)
+    x = x[:, :, : spec.N]
     return jnp.transpose(x.reshape(B, C, H, W), (0, 2, 3, 1))
