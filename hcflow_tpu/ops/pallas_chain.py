@@ -338,7 +338,7 @@ def _build_call(spec: ChainSpec, B: int, interpret: bool):
         ),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2**20,
+            vmem_limit_bytes=32 * 2**20,
         ),
         cost_estimate=pl.CostEstimate(
             flops=spec.K * flops_step, bytes_accessed=4 * B * spec.c * N,

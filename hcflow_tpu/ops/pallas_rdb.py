@@ -228,7 +228,7 @@ def _build_call(spec: RDBSpec, B: int, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((B, nf, Np), jnp.float32),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2**20,
+            vmem_limit_bytes=72 * 2**20,
         ),
         cost_estimate=pl.CostEstimate(
             flops=3 * 2 * spec.N * srcs_k * spec.rows // 2,  # rough (rows shrink)
