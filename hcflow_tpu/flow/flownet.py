@@ -280,7 +280,7 @@ class FlowNetSpec:
         return z, eps_list
 
     # --------------------------------------------------------------- inference prep
-    def precompute_inference(self, params: dict, fused: bool = False) -> dict:
+    def precompute_inference(self, params: dict, fused=False) -> dict:
         """Attach batched invconv inverses/logdets to the params for serving.
 
         Run once after loading a checkpoint: removes all LU factorizations from the
@@ -288,7 +288,9 @@ class FlowNetSpec:
 
         fused=True additionally packs every eligible step chain (Affine+FCN+invconv)
         for the fused Pallas inverse kernel (ops/pallas_chain.py) — the serving fast
-        path on TPU.  Training params must never carry these (no VJP).
+        path on TPU; fused="all" also packs the RRDB trunks for the experimental
+        encoder kernel (ops/pallas_rdb.py).  Training params must never carry
+        these (no VJP).
         """
         from ..ops import invconv as invconv_mod
         from ..ops import pallas_chain
@@ -338,8 +340,12 @@ class FlowNetSpec:
                     )
             so = lv.cond_spec
             # accumulator row blocks are sublane slices at multiples of gc: the
-            # fused trunk needs 8-aligned channel counts (all shipped configs)
-            if fused and so.rrdb_gc % 8 == 0 and so.rrdb_nf % 8 == 0:
+            # fused trunk needs 8-aligned channel counts (all shipped configs).
+            # fused="all" only: the RRDB kernel is faster standalone (2.1x) but
+            # currently faults when looped inside the full model on-device — see
+            # BENCHMARKS.md "Mosaic scoped-VMEM"; chains-only is the proven
+            # serving default until that is root-caused.
+            if fused == "all" and so.rrdb_gc % 8 == 0 and so.rrdb_nf % 8 == 0:
                 from ..ops import pallas_rdb
 
                 cd = so.encoder_dtype if so.encoder_dtype is not None else so.compute_dtype

@@ -42,9 +42,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
+# debug toggles (read once at import)
+import os as _os
+_DBUF = _os.environ.get("HCFLOW_CHAIN_DBUF", "0") == "1"
+_VLIMIT = int(_os.environ.get("HCFLOW_CHAIN_VLIMIT_MB", "0"))
+
 # Per-cell VMEM ceiling for choosing the fused path; configs whose buffers would not
 # fit (e.g. f32 x8 level-0 at large spatial sizes) fall back to the XLA scan path.
-VMEM_BUDGET = 80 * 2**20
+VMEM_BUDGET = 14 * 2**20
 
 
 def _rup(x: int, m: int) -> int:
@@ -231,14 +236,18 @@ def _make_kernel(spec: ChainSpec):
         if spec.cond:
             # double-buffered uc stream: prefetch step k-1 while computing step k
             def uc_dma(k):
+                slot = (k % 2) if _DBUF else 0
                 return pltpu.make_async_copy(
-                    uc_hbm.at[b * K + k], ucb.at[k % 2], sem.at[k % 2]
+                    uc_hbm.at[b * K + k], ucb.at[slot], sem.at[slot]
                 )
 
-            uc_dma(K - 1).start()
+            if _DBUF:
+                uc_dma(K - 1).start()
 
         for k in reversed(range(K)):
-            if spec.cond and k > 0:
+            if spec.cond and not _DBUF:
+                uc_dma(k).start()
+            if spec.cond and _DBUF and k > 0:
                 uc_dma(k - 1).start()
 
             # conv1: input-gather over 9 taps of the tiny z1
@@ -249,7 +258,7 @@ def _make_kernel(spec: ChainSpec):
                 acc = acc + _dot(w1[k, t], zs.astype(nd), nd)
             if spec.cond:
                 uc_dma(k).wait()
-                acc = acc + ucb[k % 2][:, :N].astype(jnp.float32)
+                acc = acc + ucb[(k % 2) if _DBUF else 0][:, :N].astype(jnp.float32)
             h1[...] = (
                 jax.nn.relu((acc + b1[k][:, None]) * e1[k][:, None])
             ).astype(h1.dtype)
@@ -337,8 +346,9 @@ def _build_call(spec: ChainSpec, B: int, interpret: bool):
             jax.ShapeDtypeStruct((B, c2, N), jnp.float32),
         ),
         scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 2**20,
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=_VLIMIT * 2**20)
+            if _VLIMIT else None
         ),
         cost_estimate=pl.CostEstimate(
             flops=spec.K * flops_step, bytes_accessed=4 * B * spec.c * N,
