@@ -43,7 +43,9 @@ class Predictor:
                 params = params["params"]
         else:
             params = self.model.init(jax.random.PRNGKey(0))
-        self.params = self.model.flow.precompute_inference(params)
+        # fused kernels only on real TPU (interpret mode would crawl on CPU)
+        s_fused = "all" if jax.default_backend() == "tpu" else False
+        self.params = self.model.flow.precompute_inference(params, fused=s_fused)
         self.default_heat = _DEFAULT_HEAT.get(model_type, 0.9)
         self._rev = jax.jit(lambda p, k, x, e: self.model.reverse(p, k, x, e))
 
