@@ -93,9 +93,11 @@ def main():
     key = jax.random.PRNGKey(2)
     try:
         mps = measure_dispatch("bfloat16", lr)
+        method = "dispatch-median-all"
     except Exception as e:  # noqa: BLE001 — fall back to the proven chains-only path
         print(f"dispatch path failed ({type(e).__name__}); fori fallback", file=sys.stderr)
         mps = measure_fori("bfloat16", lr, key)
+        method = "fori-chains-only"
     print(
         json.dumps(
             {
@@ -103,6 +105,7 @@ def main():
                 "value": round(mps, 3),
                 "unit": "MP/s/chip",
                 "vs_baseline": (round(mps / BASELINE_MPS, 3) if BASELINE_MPS else None),
+                "method": method,
             }
         )
     )

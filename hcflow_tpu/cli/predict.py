@@ -30,22 +30,27 @@ _DEFAULT_HEAT = {"general": 0.9, "celeb": 0.8}
 
 class Predictor:
     def __init__(self, model_type: str = "general", opt_path: str = None,
-                 checkpoint: str = None, repo_root: str = None):
+                 checkpoint: str = None, repo_root: str = None,
+                 fused: object = None):
         root = repo_root or os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
         opt_path = opt_path or os.path.join(root, _CONFIGS[model_type])
         self.opt = config_mod.parse(opt_path, is_train=False)
         self.scale = self.opt.get("scale", 4)
         self.model = config_mod.model_spec_from_opt(self.opt)
         ckpt = checkpoint or config_mod.opt_get(self.opt, ["path", "pretrain_model_G"])
-        if ckpt and os.path.isfile(ckpt):
+        # os.path.exists (not isfile): orbax checkpoints are directories
+        if ckpt and os.path.exists(ckpt):
             params = load_any(ckpt, self.model.flow)
             if isinstance(params, dict) and "params" in params:
                 params = params["params"]
         else:
             params = self.model.init(jax.random.PRNGKey(0))
-        # fused kernels only on real TPU (interpret mode would crawl on CPU)
-        s_fused = "all" if jax.default_backend() == "tpu" else False
-        self.params = self.model.flow.precompute_inference(params, fused=s_fused)
+        # Fused kernels only on real TPU (interpret mode would crawl on CPU).
+        # Default is chains-only (fused=True): the RRDB trunk kernel
+        # (fused="all") is opt-in until its fori-loop fault is root-caused.
+        if fused is None:
+            fused = jax.default_backend() == "tpu"
+        self.params = self.model.flow.precompute_inference(params, fused=fused)
         self.default_heat = _DEFAULT_HEAT.get(model_type, 0.9)
         self._rev = jax.jit(lambda p, k, x, e: self.model.reverse(p, k, x, e))
 
@@ -81,10 +86,13 @@ def main(argv=None):
     parser.add_argument("--out", default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--fused_all", action="store_true",
+                        help="opt into the fused RRDB trunk kernel (experimental)")
     args = parser.parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    pred = Predictor(args.model_type, args.opt, args.checkpoint)
+    fused = "all" if args.fused_all else None
+    pred = Predictor(args.model_type, args.opt, args.checkpoint, fused=fused)
     out = pred.predict(args.image, args.out, args.heat, args.seed)
     print(out)
 

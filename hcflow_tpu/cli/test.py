@@ -56,12 +56,12 @@ def main(argv=None):
     lpips_params = lpips_mod.load(lpips_path)
     lpips_label = "lpips"
     if lpips_params is None and config_mod.opt_get(
-        opt, ["val", "lpips_fallback"], "random"
+        opt, ["val", "lpips_fallback"], "off"
     ) == "random":
         logger.warning(
             f"no LPIPS weights at {lpips_path}; reporting 'lpips_rand' (He-init "
             "random AlexNet, uniform lin weights — NOT comparable to true LPIPS; "
-            "see models/lpips.py:random_params; val.lpips_fallback: off disables)"
+            "opt-in via val.lpips_fallback: random; see models/lpips.py:random_params)"
         )
         lpips_params = lpips_mod.random_params(seed=0)
         lpips_label = "lpips_rand"

@@ -31,7 +31,7 @@ from ..models.discriminators import VGGDiscriminatorSpec
 from ..models.vgg import VGG19FeatureSpec, load_npz
 from ..train import init_state, make_optimizer
 from ..train.losses import pixel_criterion
-from ..train.schedules import schedule_from_opt
+from ..train.schedules import restart_steps, schedule_from_opt
 from ..train.trainer import (
     make_d_optimizer,
     make_d_step,
@@ -140,6 +140,7 @@ def main(argv=None):
     # --------------------------------------------------------------- trainers
     niter = args.max_steps or int(train_opt.get("niter", 100000))
     schedule = schedule_from_opt(train_opt)
+    clear_at = restart_steps(train_opt)  # clear_state: reset Adam moments at restarts
     tx = make_optimizer(train_opt, schedule)
     state = init_state(params, tx)
 
@@ -166,15 +167,15 @@ def main(argv=None):
         vgg_path = opt_get(opt, ["path", "vgg19_npz"], "weights/vgg19_features.npz")
         f_params = load_npz(vgg_path)
         if f_params is None:
-            fallback = opt_get(opt, ["train", "feature_fallback"], "random")
+            fallback = opt_get(opt, ["train", "feature_fallback"], "off")
             if fallback == "random":
                 from ..models.vgg import random_features
 
                 logger.warning(
                     f"no pretrained VGG weights at {vgg_path}; using DETERMINISTIC "
-                    "RANDOM He-init VGG features as the perceptual loss (documented "
-                    "substitute — see models/vgg.py:random_features; set "
-                    "train.feature_fallback: off to disable instead)"
+                    "RANDOM He-init VGG features as the perceptual loss (opt-in "
+                    "substitute via train.feature_fallback: random — see "
+                    "models/vgg.py:random_features; NOT comparable to pretrained VGG)"
                 )
                 f_params = random_features(seed=0)
             else:
@@ -309,6 +310,11 @@ def main(argv=None):
             if step >= niter:
                 break
             step += 1
+            if step in clear_at:
+                # reference lr_scheduler.py:23-24 (clear_state): drop optimizer
+                # moments at a restart; params are kept
+                logger.info(f"clear_state: resetting optimizer state at step {step}")
+                state = state.replace(opt_state=tx.init(state.params))
             hr, lr = batch["GT"], batch["LQ"]
             if hr.shape[0] % n_dev == 0:
                 hr = jax.device_put(hr, data_sh)

@@ -16,7 +16,8 @@ import pickle
 import numpy as np
 
 from .imresize import imresize
-from .util import augment, modcrop, paired_random_crop, read_img, scan_images
+from .util import (augment, channel_convert, modcrop, paired_random_crop,
+                   read_img, scan_images)
 
 
 def _image_source(opt: dict, root_key: str):
@@ -56,6 +57,7 @@ class _Base:
         self.use_flip = bool(opt.get("use_flip", False))
         self.use_rot = bool(opt.get("use_rot", False))
         self.seed = opt.get("seed", 0)
+        self.color = opt.get("color")  # optional 'gray'/'y'/'RGB' channel_convert
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -68,6 +70,16 @@ class _Base:
         hr, lr = paired_random_crop(hr, lr, self.gt_size, self.scale, rng)
         hr, lr = augment([hr, lr], self.use_flip, self.use_rot, rng)
         return hr, lr
+
+    def _finish(self, item: dict) -> dict:
+        """Apply the optional ``color:`` conversion to image entries
+        (GT_dataset.py:100-103: channel_convert after augmentation)."""
+        if self.color:
+            for k in ("GT", "LQ"):
+                if k in item:
+                    item[k] = channel_convert(item[k].shape[2], self.color,
+                                              [item[k]])[0].astype(np.float32)
+        return item
 
 
 class GTDataset(_Base):
@@ -89,8 +101,9 @@ class GTDataset(_Base):
         lr = imresize(hr, 1.0 / self.scale)
         if self.phase == "train":
             hr, lr = self._train_pair(hr, lr, rng)
-        return {"GT": hr, "LQ": np.clip(lr, 0, 1), "GT_path": self.gt_paths[index],
-                "LQ_path": self.gt_paths[index]}
+        return self._finish({"GT": hr, "LQ": np.clip(lr, 0, 1),
+                             "GT_path": self.gt_paths[index],
+                             "LQ_path": self.gt_paths[index]})
 
 
 class GTLQDataset(_Base):
@@ -118,8 +131,8 @@ class GTLQDataset(_Base):
         else:
             hr = modcrop(hr, self.scale)
             lr = lr[: hr.shape[0] // self.scale, : hr.shape[1] // self.scale]
-        return {"GT": hr, "LQ": lr, "GT_path": self.gt_paths[index],
-                "LQ_path": self.lq_paths[index]}
+        return self._finish({"GT": hr, "LQ": lr, "GT_path": self.gt_paths[index],
+                             "LQ_path": self.lq_paths[index]})
 
 
 class GTLQxDataset(GTLQDataset):
@@ -162,7 +175,7 @@ class LQDataset(_Base):
 
     def __getitem__(self, index):
         lr = self._read_lq(index)
-        return {"LQ": lr, "LQ_path": self.lq_paths[index]}
+        return self._finish({"LQ": lr, "LQ_path": self.lq_paths[index]})
 
 
 class LRHRPKLDataset(_Base):
@@ -198,7 +211,8 @@ class LRHRPKLDataset(_Base):
             if self.use_crop:
                 hr, lr = paired_random_crop(hr, lr, self.gt_size, self.scale, rng)
             hr, lr = augment([hr, lr], self.use_flip, self.use_rot, rng)
-        return {"GT": hr, "LQ": lr, "GT_path": str(index), "LQ_path": str(index)}
+        return self._finish({"GT": hr, "LQ": lr, "GT_path": str(index),
+                             "LQ_path": str(index)})
 
 
 _DATASETS = {

@@ -118,6 +118,31 @@ def rgb2ycbcr(img: np.ndarray, only_y: bool = True) -> np.ndarray:
     return (out / 255.0).astype(in_type)
 
 
+def rgb2gray(img: np.ndarray) -> np.ndarray:
+    """ITU-R BT.601 luma (cv2 BGR2GRAY weights, RGB order): 0.299R+0.587G+0.114B."""
+    in_type = img.dtype
+    out = np.dot(img.astype(np.float64), [0.299, 0.587, 0.114])
+    return out.astype(in_type)
+
+
+def channel_convert(in_c: int, tar_type: str, img_list):
+    """Color-space conversion for the dataset ``color:`` option.
+
+    Behavioral reference: codes/data/util.py:171-182 (conversion among color, gray
+    and y) — operating here on RGB images (the reference converts BGR; its
+    bgr2ycbcr on BGR equals rgb2ycbcr on RGB, and the gray weights likewise).
+    Returns HWC arrays: 'gray'/'y' produce 1-channel, 'RGB' on gray replicates.
+    """
+    if in_c == 3 and tar_type == "gray":
+        return [np.expand_dims(rgb2gray(im), axis=2) for im in img_list]
+    if in_c == 3 and tar_type == "y":
+        return [np.expand_dims(rgb2ycbcr(im, only_y=True), axis=2) for im in img_list]
+    if in_c == 1 and tar_type == "RGB":
+        return [np.repeat(im if im.ndim == 3 else im[..., None], 3, axis=2)
+                for im in img_list]
+    return list(img_list)
+
+
 def img_to_uint8(img: np.ndarray) -> np.ndarray:
     return np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
 

@@ -42,7 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
-VMEM_BUDGET = 80 * 2**20
+VMEM_LIMIT = 72 * 2**20  # compiler vmem_limit_bytes passed to pallas_call
+# Python-side gate must be strictly conservative vs the compiler limit:
+# estimates that pass here must also compile (headroom for Mosaic overheads).
+VMEM_BUDGET = 64 * 2**20
 MM_CHUNK = 64  # max matmul output rows per call (bounds f32 value temporaries)
 
 
@@ -80,6 +83,7 @@ class RDBSpec:
         buf = self.rows * n * f32  # acc
         buf += 3 * self.nf * n * net  # stack buffer (3 taps x max cin)
         buf += self.nf * n * f32  # xbuf
+        buf += self.nf * n * f32  # xorig (RRDB residual base)
         buf += self.gc * n * f32  # xt
         buf += 3 * MM_CHUNK * n * f32  # chunked matmul + roll temporaries
         srcs = self.nf + 4 * self.gc
@@ -228,7 +232,7 @@ def _build_call(spec: RDBSpec, B: int, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((B, nf, Np), jnp.float32),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=72 * 2**20,
+            vmem_limit_bytes=VMEM_LIMIT,
         ),
         cost_estimate=pl.CostEstimate(
             flops=3 * 2 * spec.N * srcs_k * spec.rows // 2,  # rough (rows shrink)

@@ -80,6 +80,26 @@ def with_warmup(schedule, warmup_iter: int):
     return warmed
 
 
+def restart_steps(train_opt: dict):
+    """Steps at which ``clear_state`` resets optimizer moments.
+
+    Reference lr_scheduler.py:9-24: restarts are stored shifted by +1 and the
+    state is cleared when the scheduler's step counter hits them — i.e. at the
+    training iteration numbered ``restart + 1`` (1-based, matching our ``step``
+    counter which is incremented before the optimizer update).
+    """
+    if not train_opt.get("clear_state"):
+        return frozenset()
+    if train_opt.get("lr_scheme") == "CosineAnnealingLR_Restart":
+        periods = list(train_opt.get("T_period") or [])
+        acc, steps = 0, []
+        for p_ in periods[:-1]:
+            acc += p_
+            steps.append(acc + 1)
+        return frozenset(steps)
+    return frozenset(int(r) + 1 for r in (train_opt.get("restarts") or []))
+
+
 def schedule_from_opt(train_opt: dict):
     """Build the configured schedule from a parsed ``train`` option section."""
     base_lr = train_opt.get("lr_G", 2.5e-4)

@@ -134,3 +134,49 @@ def test_evaluator_metric_grid():
     assert out["diversity@0.0"] < 1e-6  # deterministic at heat 0
     assert out["diversity@0.8"] > 0.01
     assert out["n_images"] == 1
+
+
+def test_predictor_loads_orbax_directory_checkpoint(tmp_path):
+    """Serving must accept orbax *directory* checkpoints produced by cli/train.py
+    with ``checkpoint_backend: orbax`` (regression: os.path.isfile rejected dirs
+    and silently fell back to random init)."""
+    import jax
+    import yaml
+
+    from hcflow_tpu.cli.predict import Predictor
+    from hcflow_tpu.data.util import save_img
+    from hcflow_tpu.utils import config as config_mod
+    from hcflow_tpu.utils.checkpoint import save_checkpoint, wait_for_saves
+
+    yml = str(tmp_path / "opt.yml")
+    yaml.safe_dump(
+        {"name": "t", "model": "HCFlow_SR", "scale": 4, "quant": 64,
+         "network_G": {"in_nc": 3, "flowDownsampler": TINY_FD},
+         "val": {"heats": [0.0], "n_sample": 1}},
+        open(yml, "w"),
+    )
+    spec = config_mod.model_spec_from_opt(config_mod.parse(yml, is_train=False))
+    params = spec.init(jax.random.PRNGKey(42))  # NOT the Predictor's seed-0 init
+    ckpt = str(tmp_path / "100_G.ckpt")
+    save_checkpoint(ckpt, {"params": params, "step": 100}, backend="orbax")
+    wait_for_saves()
+    assert os.path.isdir(ckpt)
+
+    img = np.random.default_rng(0).random((8, 8, 3)).astype(np.float32)
+    src = str(tmp_path / "in.png")
+    save_img(src, img)
+    pred = Predictor("general", opt_path=yml, checkpoint=ckpt)
+    out = pred.predict(src, out_path=str(tmp_path / "out.png"), heat=0.0)
+
+    # the checkpoint's params (seed 42) must actually be serving — compare against
+    # a direct reverse pass with those params
+    lr = np.asarray(
+        __import__("cv2").imread(src, __import__("cv2").IMREAD_COLOR)[:, :, ::-1],
+        dtype=np.float32) / 255.0
+    want = np.asarray(spec.reverse(
+        spec.flow.precompute_inference(params, fused=False),
+        jax.random.PRNGKey(0), lr[None], 0.0)[0])
+    import cv2
+
+    got = cv2.imread(out)[:, :, ::-1].astype(np.float32) / 255.0
+    np.testing.assert_allclose(got, np.clip(want, 0, 1), atol=1.5 / 255)

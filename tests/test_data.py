@@ -293,3 +293,45 @@ def test_pool_loader_early_close_cleans_up():
     next(it)
     it.close()
     assert len(mp.active_children()) == 0
+
+
+def test_channel_convert_color_option_parity():
+    """``color:`` dataset option (reference GT_dataset.py:100-103 via
+    codes/data/util.py:171-182): y/gray produce 1-channel outputs matching the
+    reference's BGR-side conversions on the same image."""
+    import sys
+
+    import numpy as np
+
+    from hcflow_tpu.data import create_dataset
+    from hcflow_tpu.data.util import channel_convert
+
+    root = "/root/reference/datasets/example_face_8X/HR"
+    for color in ("y", "gray"):
+        ds = create_dataset({"mode": "GT", "phase": "val", "scale": 4, "n_max": 1,
+                             "color": color, "dataroot_GT": root})
+        item = ds[0]
+        assert item["GT"].shape[2] == 1 and item["LQ"].shape[2] == 1
+        assert item["GT"].dtype == np.float32
+
+    # parity vs the reference implementation (ours is RGB-side, theirs BGR-side)
+    ref = "/root/reference/codes"
+    if ref not in sys.path:
+        sys.path.insert(0, ref)
+    from data.util import channel_convert as ref_channel_convert
+
+    rng = np.random.default_rng(0)
+    rgb = rng.random((16, 16, 3)).astype(np.float32)
+    bgr = rgb[:, :, ::-1].copy()
+    for color in ("y", "gray"):
+        ours = channel_convert(3, color, [rgb.copy()])[0]
+        # fresh copy per call: the reference's bgr2ycbcr mutates its input
+        # in place (codes/data/util.py:219 ``img *= 255.``)
+        theirs = ref_channel_convert(3, color, [bgr.copy()])[0]
+        np.testing.assert_allclose(np.squeeze(ours), np.squeeze(theirs), atol=2e-5)
+    # gray -> RGB replication path
+    g = rng.random((8, 8, 1)).astype(np.float32)
+    up = channel_convert(1, "RGB", [g])[0]
+    assert up.shape == (8, 8, 3)
+    np.testing.assert_allclose(up, ref_channel_convert(1, "RGB", [g[..., 0]])[0],
+                               atol=1e-6)

@@ -52,6 +52,38 @@ def test_schedules():
     assert schedule_from_opt(TOPT) is not None
 
 
+def test_clear_state_restart_steps():
+    """clear_state semantics (reference lr_scheduler.py:9-24): optimizer moments
+    reset at restart+1; off by default."""
+    from hcflow_tpu.train.schedules import restart_steps
+
+    assert restart_steps({"restarts": [100, 200]}) == frozenset()  # default off
+    assert restart_steps({"clear_state": True, "restarts": [100, 200]}) == {101, 201}
+    assert restart_steps({"clear_state": True, "lr_scheme": "CosineAnnealingLR_Restart",
+                          "T_period": [50, 50, 100]}) == {51, 101}
+    assert restart_steps({"clear_state": True}) == frozenset()
+
+    # clearing actually zeroes Adam moments while keeping params
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from hcflow_tpu.train import init_state, make_optimizer
+
+    tx = make_optimizer({"max_grad_clip": 5}, lambda s: 1e-3)
+    params = {"w": jnp.ones((3,))}
+    state = init_state(params, tx)
+    for _ in range(3):
+        u, new_opt = tx.update({"w": jnp.ones((3,))}, state.opt_state, state.params)
+        state = state.replace(params=optax.apply_updates(state.params, u),
+                              opt_state=new_opt)
+    mu_before = jax.tree_util.tree_leaves(state.opt_state)
+    assert any(float(jnp.abs(m).sum()) > 0 for m in mu_before if hasattr(m, "sum"))
+    cleared = state.replace(opt_state=tx.init(state.params))
+    np.testing.assert_array_equal(np.asarray(cleared.params["w"]),
+                                  np.asarray(state.params["w"]))
+
+
 @pytest.mark.slow
 def test_full_plusplus_iteration():
     """One complete HCFlow++ iteration: nll -> pixel -> fea/gan -> D update."""
