@@ -18,12 +18,27 @@ channels-in-sublanes / spatial-in-lanes layout:
   stack into a (3*cin, N) buffer feeding tall matmuls with contraction depth
   96/192 — vs cin=32 skinny matmuls in the per-tap form.
 - features x1..x4 materialize once each (lrelu of a finished accumulator row
-  block) and stay in VMEM; the RRDB input/output move by explicit DMA (VMEM is
-  the binding constraint: blocked input/output would cost two double-buffered
-  copies, and matmul outputs are chunked to MM_CHUNK rows to bound Mosaic's
-  value temporaries).
-- the spatial dim is padded to a 128-lane multiple for DMA alignment; boundary
-  masks carry an n < N term so pad lanes never contaminate real outputs.
+  block) and stay in VMEM; the RRDB input/output move by explicit DMA.
+
+Scoped-VMEM design (the round-3 fix for the fori-loop device fault): the round-2
+kernel compiled with an explicit 72 MB ``vmem_limit_bytes`` because Mosaic kept
+all 9 rolled tap temporaries of a source pass live at once (~45 MB scoped at
+80x80).  Kernels carrying large explicit limits faulted (UNAVAILABLE) when the
+full reverse graph ran inside ``lax.fori_loop`` while default-limit kernels in
+the same loop were stable.  This version stays under the 16 MB compiler default:
+
+- every rolled tap is staged through ONE fixed f32 scratch buffer in
+  ``ROLL_CHUNK``-row slices (ref stores order the unrolled taps, so their value
+  live-ranges end and Mosaic reuses the registers instead of stacking 9 copies);
+- the working feature, residual base, DMA buffers and the accumulator are kept
+  in the net dtype (bf16 for serving — matching the XLA trunk, whose residual
+  adds are bf16 too; matmul partials still accumulate f32 inside the MXU and
+  chunked ``+=`` round once per source contribution, ≤5 per row block);
+- matmul output chunks are bounded to ``MM_CHUNK`` rows.
+
+No ``vmem_limit_bytes`` is passed: the kernel compiles in the same default
+scoped-VMEM regime as the chain kernels, which is the configuration proven
+stable under ``lax.fori_loop`` at full model scale.
 
 Serving-only (no VJP): attached by FlowNetSpec.precompute_inference(fused=True);
 training and the correctness oracle stay on the XLA scatter path.
@@ -42,11 +57,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
-VMEM_LIMIT = 72 * 2**20  # compiler vmem_limit_bytes passed to pallas_call
-# Python-side gate must be strictly conservative vs the compiler limit:
-# estimates that pass here must also compile (headroom for Mosaic overheads).
-VMEM_BUDGET = 64 * 2**20
+# Python-side gate: shapes whose estimate exceeds this fall back to the XLA
+# trunk.  The kernel itself compiles at the Mosaic default (16 MB) scoped limit;
+# the gate is set below it with headroom for compiler overheads.
+VMEM_BUDGET = 15 * 2**20
 MM_CHUNK = 64  # max matmul output rows per call (bounds f32 value temporaries)
+ROLL_CHUNK = 32  # rows rolled/masked per staged slice (bounds roll temporaries)
+LANE_CHUNK = 2048  # matmul lane (spatial) chunk; rolls need full lanes, dots don't
 
 
 def _rup(x: int, m: int) -> int:
@@ -80,12 +97,18 @@ class RDBSpec:
     def vmem_estimate(self) -> int:
         f32, net = 4, jnp.dtype(self.net_dtype).itemsize
         n = self.Np
-        buf = self.rows * n * f32  # acc
+        buf = self.rows * n * net  # acc
         buf += 3 * self.nf * n * net  # stack buffer (3 taps x max cin)
-        buf += self.nf * n * f32  # xbuf
-        buf += self.nf * n * f32  # xorig (RRDB residual base)
+        buf += self.nf * n * net  # xbuf
+        buf += self.nf * n * net  # xorig (RRDB residual base)
         buf += self.gc * n * f32  # xt
-        buf += 3 * MM_CHUNK * n * f32  # chunked matmul + roll temporaries
+        # bounded value temporaries: the roll phase and the matmul phase do not
+        # overlap; budget the larger (roll/mask slices at full lanes vs
+        # lane-chunked stack read + matmul out + acc rmw)
+        lc = min(LANE_CHUNK, n)
+        roll_t = 4 * ROLL_CHUNK * n * f32
+        mm_t = 3 * self.nf * lc * net + 3 * MM_CHUNK * lc * f32
+        buf += max(roll_t, mm_t)
         srcs = self.nf + 4 * self.gc
         w = 3 * 9 * srcs * self.rows * net  # upper bound on packed weights
         return buf + w
@@ -150,7 +173,7 @@ def _make_kernel(spec: RDBSpec):
     slices = _src_slices(nf, gc)
 
     def kernel(*refs):
-        xin = refs[0]  # HBM (B, nf, Np)
+        xin = refs[0]  # HBM (B, nf, Np) net dtype
         wrefs = {k: r for k, r in zip(_PACK_KEYS, refs[1 : 1 + len(_PACK_KEYS)])}
         xout, xbuf, xorig, xt, acc, sbuf, sem = refs[1 + len(_PACK_KEYS) :]
         b = pl.program_id(0)
@@ -177,31 +200,43 @@ def _make_kernel(spec: RDBSpec):
                 r1 = min(r0 + MM_CHUNK, rows)
                 acc[r0:r1, :] = jnp.broadcast_to(
                     wrefs[f"b{r}"][r0:r1][:, None], (r1 - r0, Np)
-                )
+                ).astype(nd)
             for s, (_start, cin, off, rows_s) in enumerate(slices):
-                src = xbuf[:nf, :] if s == 0 else xt[...]
+                src = xbuf if s == 0 else xt  # xbuf is net dtype, xt is f32
                 for g in range(3):
                     for i in range(3):
-                        # roll over the PADDED lane dim; masks zero pad/boundary
+                        # roll over the PADDED lane dim; masks zero pad/boundary.
+                        # ROLL_CHUNK row slices (upcast inline: pltpu.roll needs
+                        # 32-bit data) keep each roll/mask temporary small and
+                        # their live-ranges disjoint (scoped-VMEM).
                         t = 3 * g + i
                         dy, dx = t // 3 - 1, t % 3 - 1
                         offr = dy * W + dx
-                        v = pltpu.roll(src, (-offr) % Np, 1) if offr else src
-                        sbuf[i * cin : (i + 1) * cin, :] = (v * masks[t]).astype(nd)
+                        for c0 in range(0, cin, ROLL_CHUNK):
+                            c1 = min(c0 + ROLL_CHUNK, cin)
+                            v = src[c0:c1, :].astype(jnp.float32)
+                            if offr:
+                                v = pltpu.roll(v, (-offr) % Np, 1)
+                            sbuf[i * cin + c0 : i * cin + c1, :] = (
+                                v * masks[t]
+                            ).astype(nd)
                     wg = wrefs[f"w{r}_{s}"]
-                    for r0 in range(0, rows_s, MM_CHUNK):
-                        r1 = min(r0 + MM_CHUNK, rows_s)
-                        acc[off + r0 : off + r1, :] += _dot(
-                            wg[g, r0:r1, :], sbuf[: 3 * cin, :], nd
-                        )
+                    for n0 in range(0, Np, LANE_CHUNK):
+                        n1 = min(n0 + LANE_CHUNK, Np)
+                        sv = sbuf[: 3 * cin, n0:n1]
+                        for r0 in range(0, rows_s, MM_CHUNK):
+                            r1 = min(r0 + MM_CHUNK, rows_s)
+                            acc[off + r0 : off + r1, n0:n1] += _dot(
+                                wg[g, r0:r1, :], sv, nd
+                            ).astype(nd)
                 if s < 4:
                     # x_{s+1} = lrelu(conv_{s+1} output) — its row block is complete
-                    v = acc[s * gc : (s + 1) * gc, :]
+                    v = acc[s * gc : (s + 1) * gc, :].astype(jnp.float32)
                     xt[...] = jnp.where(v > 0, v, 0.2 * v)
             # RDB residual: out5 rows are the conv5 block
-            xbuf[...] = acc[4 * gc :, :] * 0.2 + xbuf[...]
+            xbuf[...] = (acc[4 * gc :, :] * 0.2 + xbuf[...]).astype(nd)
         # RRDB residual vs the ORIGINAL input, then DMA out
-        xbuf[...] = xbuf[...] * 0.2 + xorig[...]
+        xbuf[...] = (xbuf[...] * 0.2 + xorig[...]).astype(nd)
         pltpu.make_async_copy(xbuf, xout.at[b], sem).start()
         pltpu.make_async_copy(xbuf, xout.at[b], sem).wait()
 
@@ -216,10 +251,10 @@ def _build_call(spec: RDBSpec, B: int, interpret: bool):
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     in_specs += [vm()] * len(_PACK_KEYS)
     scratch = [
-        pltpu.VMEM((nf, Np), jnp.float32),  # xbuf (working feature)
-        pltpu.VMEM((nf, Np), jnp.float32),  # xorig (RRDB residual base)
+        pltpu.VMEM((nf, Np), nd),  # xbuf (working feature)
+        pltpu.VMEM((nf, Np), nd),  # xorig (RRDB residual base)
         pltpu.VMEM((gc, Np), jnp.float32),  # xt
-        pltpu.VMEM((spec.rows, Np), jnp.float32),  # acc
+        pltpu.VMEM((spec.rows, Np), nd),  # acc
         pltpu.VMEM((3 * nf, Np), nd),  # tap-stack buffer
         pltpu.SemaphoreType.DMA(()),
     ]
@@ -229,14 +264,11 @@ def _build_call(spec: RDBSpec, B: int, interpret: bool):
         grid=(B,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        out_shape=jax.ShapeDtypeStruct((B, nf, Np), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, nf, Np), nd),
         scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_LIMIT,
-        ),
         cost_estimate=pl.CostEstimate(
             flops=3 * 2 * spec.N * srcs_k * spec.rows // 2,  # rough (rows shrink)
-            bytes_accessed=2 * B * nf * Np * 4,
+            bytes_accessed=2 * B * nf * Np * jnp.dtype(nd).itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -245,7 +277,7 @@ def _build_call(spec: RDBSpec, B: int, interpret: bool):
 
 def rrdb_apply(spec: RDBSpec, packed: dict, x_cn: jnp.ndarray,
                interpret: Optional[bool] = None) -> jnp.ndarray:
-    """One fused RRDB on channel-major input (B, nf, Np) f32 (lane-padded)."""
+    """One fused RRDB on channel-major input (B, nf, Np) net-dtype (lane-padded)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B = x_cn.shape[0]
@@ -266,10 +298,13 @@ def trunk_apply(spec: RDBSpec, packed_list: list, x_nhwc: jnp.ndarray,
                 interpret: Optional[bool] = None) -> jnp.ndarray:
     """Fused RRDB trunk on NHWC input: one layout transpose in, one out."""
     B, H, W, C = x_nhwc.shape
-    x = jnp.transpose(x_nhwc.astype(jnp.float32), (0, 3, 1, 2)).reshape(B, C, H * W)
+    in_dtype = x_nhwc.dtype
+    x = jnp.transpose(x_nhwc.astype(spec.net_dtype), (0, 3, 1, 2)).reshape(
+        B, C, H * W
+    )
     if spec.Np != spec.N:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, spec.Np - spec.N)))
     for packed in packed_list:
         x = rrdb_apply(spec, packed, x, interpret)
     x = x[:, :, : spec.N]
-    return jnp.transpose(x.reshape(B, C, H, W), (0, 2, 3, 1))
+    return jnp.transpose(x.reshape(B, C, H, W), (0, 2, 3, 1)).astype(in_dtype)

@@ -87,3 +87,135 @@ def test_two_process_coordinator_psum(tmp_path):
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank{rank} failed:\n{out}"
         assert f"rank{rank} OK" in out, out
+
+
+_CHILD_TRAIN = r"""
+import os, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.environ["_REPO"])
+
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from hcflow_tpu.data import create_dataset
+from hcflow_tpu.data.loader import EnlargedSampler, _collate
+from hcflow_tpu.models import HCFlowSRSpec
+from hcflow_tpu.parallel import init_distributed, make_mesh
+from hcflow_tpu.train import init_state, make_optimizer
+from hcflow_tpu.train.trainer import make_sr_nll_step
+from hcflow_tpu.train.schedules import multistep_restart
+
+rank, count = init_distributed()
+assert count == 2 and len(jax.devices()) == 4
+
+# --- per-rank data shard via EnlargedSampler (reference train_HCFlow.py:131)
+ds = create_dataset({
+    "mode": "GT", "phase": "train", "scale": 4, "GT_size": 32, "seed": 0,
+    "dataroot_GT": "/root/reference/datasets/example_face_8X/HR",
+})
+samplers = [EnlargedSampler(len(ds), ratio=200, num_replicas=2, rank=r, seed=0)
+            for r in range(2)]
+
+def batch_for(indices):
+    return _collate([ds[int(i)] for i in indices])
+
+def global_rows(step):
+    # global batch row order = rank-major: [r0 item0, r0 item1, r1 item0, r1 item1]
+    rows = []
+    for r in range(2):
+        idx = samplers[r].indices(epoch=0)[2 * step : 2 * step + 2]
+        b = batch_for(idx)
+        rows.append((b["GT"], b["LQ"]))
+    return (np.concatenate([h for h, _ in rows]), np.concatenate([l for _, l in rows]))
+
+# --- tiny model + optimizer (full train-step semantics)
+model = HCFlowSRSpec.for_scale(
+    4, rrdb_nb=(1, 1), rrdb_nf=8, rrdb_gc=4, K=(3, 3), after_splitoff=(1, 1),
+    hidden_channels=8, so_hidden_channels=8,
+)
+params = jax.tree.map(np.asarray, model.init(jax.random.PRNGKey(0)))
+tx = make_optimizer(
+    {"max_grad_clip": 5, "max_grad_norm": 100, "beta1": 0.9, "beta2": 0.99},
+    multistep_restart(2.5e-4, [100]),
+)
+state0 = jax.tree.map(np.asarray, init_state(params, tx))
+step_fn = make_sr_nll_step(model, tx)
+keys = [jax.random.PRNGKey(11), jax.random.PRNGKey(12)]
+
+# --- oracle: full batch replicated (identical computation on every process)
+st = jax.tree.map(np.copy, state0)
+oracle_nll = []
+for i in range(2):
+    hr, lr = global_rows(i)
+    st, m = step_fn(st, keys[i], hr, lr)
+    oracle_nll.append(float(m["nll"]))
+
+# --- sharded: global 4-device data mesh, this process materializes its 2 rows
+mesh = make_mesh()
+sh = NamedSharding(mesh, P("data"))
+
+def shard_batch(step):
+    hr_full, lr_full = global_rows(step)  # deterministic, same on both ranks
+    def mk(arr):
+        shards = [jax.device_put(arr[d.id : d.id + 1], d) for d in jax.local_devices()]
+        return jax.make_array_from_single_device_arrays(arr.shape, sh, shards)
+    return mk(hr_full), mk(lr_full)
+
+st = jax.tree.map(np.copy, state0)
+sharded_nll = []
+for i in range(2):
+    hr_g, lr_g = shard_batch(i)
+    st, m = step_fn(st, keys[i], hr_g, lr_g)
+    sharded_nll.append(float(m["nll"]))
+
+for i, (a, b) in enumerate(zip(oracle_nll, sharded_nll)):
+    assert abs(a - b) <= 1e-4 * max(1.0, abs(a)), (i, a, b)
+print(f"rank{rank} TRAIN OK nll={sharded_nll}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_sharded_train_step(tmp_path):
+    """The FULL NLL train step on a global 2-process mesh with per-rank
+    EnlargedSampler shards: loss trajectory (2 steps, optimizer update included)
+    must match the replicated single-computation oracle.  Reference semantics:
+    DDP training with DistIterSampler shards (train_HCFlow.py:49-59,131)."""
+    port = socket.socket()
+    port.bind(("127.0.0.1", 0))
+    addr = f"127.0.0.1:{port.getsockname()[1]}"
+    port.close()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "child_train.py"
+    script.write_text(_CHILD_TRAIN)
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            JAX_COORDINATOR_ADDRESS=addr,
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(rank),
+            _REPO=repo,
+        )
+        flags = " ".join(
+            f for f in env.get("XLA_FLAGS", "").split()
+            if "host_platform_device_count" not in f
+        )
+        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=2").strip()
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank{rank} failed:\n{out}"
+        assert f"rank{rank} TRAIN OK" in out, out
