@@ -43,21 +43,41 @@ def prepare_pkl(
     scales=(4,),
     subset_frac: float = 0.01,
     seed: int = 0,
+    augment: bool = False,
+    zooms=(1.0,),
 ) -> dict:
-    """Random HR crops + bicubic LR counterparts -> .pklv4 files (HWC uint8 lists)."""
+    """Random HR crops + bicubic LR counterparts -> .pklv4 files (HWC uint8 lists).
+
+    ``augment``/``zooms`` (an extension over the reference's prepare_data_pkl):
+    each crop is taken from a randomly chosen MATLAB-bicubic zoom of the source
+    image and gets a random dihedral (flip/rot90) variant — multiplying the
+    effective patch diversity of small source sets (e.g. the 6 bundled faces)
+    without changing the pklv4 format or the training pipeline.
+    """
     rng = np.random.default_rng(seed)
     paths = scan_images(input_dir)
     os.makedirs(output_dir, exist_ok=True)
+    zooms = tuple(zooms) or (1.0,)
     hr_crops = []
     for p in paths:
-        img = read_img(p)
-        h, w = img.shape[:2]
-        if h < crop_size or w < crop_size:
-            continue
+        base = read_img(p)
+        zoomed = [
+            base if z == 1.0 else np.clip(imresize(base, z), 0, 1) for z in zooms
+        ]
         for _ in range(crops_per_image):
+            img = zoomed[int(rng.integers(0, len(zoomed)))] if augment else zoomed[0]
+            h, w = img.shape[:2]
+            if h < crop_size or w < crop_size:
+                continue
             y = int(rng.integers(0, h - crop_size + 1))
             x = int(rng.integers(0, w - crop_size + 1))
-            hr_crops.append(img_to_uint8(img[y : y + crop_size, x : x + crop_size]))
+            c = img[y : y + crop_size, x : x + crop_size]
+            if augment:
+                k = int(rng.integers(0, 4))
+                c = np.rot90(c, k)
+                if rng.integers(0, 2):
+                    c = c[:, ::-1]
+            hr_crops.append(img_to_uint8(np.ascontiguousarray(c)))
 
     out = {}
 
@@ -91,13 +111,17 @@ def main(argv=None):
     p2.add_argument("--size", type=int, default=160)
     p2.add_argument("--scales", type=int, nargs="+", default=[4])
     p2.add_argument("--subset_frac", type=float, default=0.01)
+    p2.add_argument("--augment", action="store_true",
+                    help="random dihedral + zoom variants per crop")
+    p2.add_argument("--zooms", type=float, nargs="+", default=[1.0])
     args = parser.parse_args(argv)
     if args.cmd == "png2npy":
         n = png2npy(args.input, args.output)
         print(f"converted {n} images")
     else:
         out = prepare_pkl(args.input, args.output, args.crops, args.size,
-                          tuple(args.scales), args.subset_frac)
+                          tuple(args.scales), args.subset_frac,
+                          augment=args.augment, zooms=tuple(args.zooms))
         for k, v in out.items():
             print(f"{k}: {v} crops")
 

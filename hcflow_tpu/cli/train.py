@@ -202,25 +202,7 @@ def main(argv=None):
         nll_step = make_sr_nll_step(model_spec, tx, nll_weight)
         calibrate_fn = jax.jit(model_spec.calibrate)
         reverse_fn = jax.jit(lambda p, k, x, e: model_spec.reverse(p, k, x, e))
-        pix_step = (
-            make_sr_pixel_step(
-                model_spec, tx, pixel_weight_hr,
-                pixel_criterion(train_opt.get("pixel_criterion_hr", "l1")),
-            )
-            if pixel_weight_hr
-            else None
-        )
-        fg_step = (
-            make_sr_feagan_step(
-                model_spec, tx, eps_std_reverse,
-                gan_type=train_opt.get("gan_type", "gan"),
-                gan_weight=gan_weight, fea_weight=fea_weight,
-                fea_criterion=pixel_criterion(train_opt.get("feature_criterion", "l1")),
-                d_apply=d_spec.apply if d_spec else None, f_apply=f_apply,
-            )
-            if (gan_weight or fea_weight)
-            else None
-        )
+        pix_step = fg_step = None  # built after resume (warmup needs start_step)
 
     # ----------------------------------------------------------------- resume
     ckpt_backend = opt_get(opt, ["path", "checkpoint_backend"], "pickle")
@@ -246,6 +228,34 @@ def main(argv=None):
                     params=saved["d_params"], opt_state=saved["d_opt_state"]
                 )
             start_step = int(saved["step"])
+
+    if not is_rescaling:
+        # reverse-leg passes; built here so the pixel warmup ramp (a config-gated
+        # stabilizer, off by default) can anchor at the resumed step
+        pixel_warmup = int(train_opt.get("pixel_warmup_hr") or 0)
+        rev_clip = train_opt.get("reverse_grad_clip")
+        pix_step = (
+            make_sr_pixel_step(
+                model_spec, tx, pixel_weight_hr,
+                pixel_criterion(train_opt.get("pixel_criterion_hr", "l1")),
+                warmup_steps=pixel_warmup, warmup_start=start_step,
+                reverse_grad_clip=rev_clip,
+            )
+            if pixel_weight_hr
+            else None
+        )
+        fg_step = (
+            make_sr_feagan_step(
+                model_spec, tx, eps_std_reverse,
+                gan_type=train_opt.get("gan_type", "gan"),
+                gan_weight=gan_weight, fea_weight=fea_weight,
+                fea_criterion=pixel_criterion(train_opt.get("feature_criterion", "l1")),
+                d_apply=d_spec.apply if d_spec else None, f_apply=f_apply,
+                reverse_grad_clip=rev_clip,
+            )
+            if (gan_weight or fea_weight)
+            else None
+        )
 
     # ------------------------------------------------------------------- data
     train_loader, val_loader = build_loaders(opt, seed, proc_count, proc_rank)

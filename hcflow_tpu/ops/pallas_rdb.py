@@ -50,6 +50,8 @@ import dataclasses
 import functools
 from typing import Optional
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -57,12 +59,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
+# Explicit scoped-vmem limit (MB).  The kernel's measured scoped high-water is
+# 19.53 MB at the flagship 80x80/nf64 bf16 shape (Mosaic compile report,
+# chunk-size independent), so 20 MB is the tight bound — far below the >=32 MB
+# regime where looped kernels faulted in round 2 (NOTES.md).  Overridable for
+# experiments; 0 selects the 16 MB compiler default (flagship shape won't fit).
+_VLIMIT = int(_os.environ.get("HCFLOW_RDB_VLIMIT_MB", "20"))
+
 # Python-side gate: shapes whose estimate exceeds this fall back to the XLA
-# trunk.  The kernel itself compiles at the Mosaic default (16 MB) scoped limit;
-# the gate is set below it with headroom for compiler overheads.
-VMEM_BUDGET = 15 * 2**20
+# trunk.  Calibration: vmem_estimate() returns 11.2 MB at the flagship
+# 80x80/nf64 bf16 shape where Mosaic's measured scoped high-water is 19.53 MB
+# (ratio ~1.75 — Mosaic's value-stack overhead on the unrolled conv chain), so
+# the gate on the ESTIMATE scale is 11.5 MB, keeping the real requirement at or
+# below the 20 MB compiled limit.  Strictly conservative: estimates that pass
+# here compile.
+VMEM_BUDGET = int(11.5 * 2**20)
 MM_CHUNK = 64  # max matmul output rows per call (bounds f32 value temporaries)
-ROLL_CHUNK = 32  # rows rolled/masked per staged slice (bounds roll temporaries)
+ROLL_CHUNK = 16  # rows rolled/masked per staged slice (bounds roll temporaries)
 LANE_CHUNK = 2048  # matmul lane (spatial) chunk; rolls need full lanes, dots don't
 
 
@@ -195,12 +208,15 @@ def _make_kernel(spec: RDBSpec):
         xbuf[...] = xorig[...]
 
         for r in range(3):
-            # bias init + source contributions, matmuls chunked to MM_CHUNK rows
+            # bias init + source contributions; all wide value temporaries are
+            # chunked in both rows (MM_CHUNK) and lanes (LANE_CHUNK)
             for r0 in range(0, rows, MM_CHUNK):
                 r1 = min(r0 + MM_CHUNK, rows)
-                acc[r0:r1, :] = jnp.broadcast_to(
-                    wrefs[f"b{r}"][r0:r1][:, None], (r1 - r0, Np)
-                ).astype(nd)
+                for n0 in range(0, Np, LANE_CHUNK):
+                    n1 = min(n0 + LANE_CHUNK, Np)
+                    acc[r0:r1, n0:n1] = jnp.broadcast_to(
+                        wrefs[f"b{r}"][r0:r1][:, None], (r1 - r0, n1 - n0)
+                    ).astype(nd)
             for s, (_start, cin, off, rows_s) in enumerate(slices):
                 src = xbuf if s == 0 else xt  # xbuf is net dtype, xt is f32
                 for g in range(3):
@@ -266,6 +282,10 @@ def _build_call(spec: RDBSpec, B: int, interpret: bool):
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct((B, nf, Np), nd),
         scratch_shapes=scratch,
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=_VLIMIT * 2**20)
+            if _VLIMIT else None
+        ),
         cost_estimate=pl.CostEstimate(
             flops=3 * 2 * spec.N * srcs_k * spec.rows // 2,  # rough (rows shrink)
             bytes_accessed=2 * B * nf * Np * jnp.dtype(nd).itemsize,

@@ -88,15 +88,39 @@ def make_sr_nll_step(model, tx, nll_weight: float = 1.0):
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_sr_pixel_step(model, tx, pixel_weight: float, criterion: Callable):
-    """G pass 2: reverse at eps_std=0 + HR pixel loss (HCFlow_SR_model.py:207-218)."""
+def _clip_global_norm(grads, max_norm):
+    g = optax.global_norm(grads)
+    scale = jnp.minimum(1.0, max_norm / (g + 1e-12))
+    return jax.tree.map(lambda x: x * scale, grads)
+
+
+def make_sr_pixel_step(model, tx, pixel_weight: float, criterion: Callable,
+                       warmup_steps: int = 0, warmup_start: int = 0,
+                       reverse_grad_clip: Optional[float] = None):
+    """G pass 2: reverse at eps_std=0 + HR pixel loss (HCFlow_SR_model.py:207-218).
+
+    Two config-gated stabilizers (documented DEVIATIONS from the reference, off
+    by default — BENCHMARKS.md "HCFlow+ fine-tune"): ``warmup_steps`` ramps the
+    pixel weight linearly from 0 over that many steps after ``warmup_start``, and
+    ``reverse_grad_clip`` clips the global norm of the gradients flowing through
+    the inverse flow before the optimizer sees them.  Both damp the early
+    reverse-leg gradients that can push couplings off the invertible manifold
+    faster than the NLL anchor recovers at small data scale."""
 
     def step(state: TrainState, key, hr, lr):
+        ramp = 1.0
+        if warmup_steps:
+            ramp = jnp.clip(
+                (state.step - warmup_start) / float(warmup_steps), 0.0, 1.0
+            )
+
         def loss_fn(p):
             fake_h = model.reverse(p, key, lr, 0.0)
-            return pixel_weight * criterion(fake_h, hr)
+            return pixel_weight * ramp * criterion(fake_h, hr)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if reverse_grad_clip:
+            grads = _clip_global_norm(grads, reverse_grad_clip)
         return _apply(tx, state, grads, advance_step=False), {"l_g_pix_hr": loss}
 
     return jax.jit(step, donate_argnums=(0,))
@@ -112,10 +136,12 @@ def make_sr_feagan_step(
     fea_criterion: Optional[Callable] = None,
     d_apply: Optional[Callable] = None,
     f_apply: Optional[Callable] = None,
+    reverse_grad_clip: Optional[float] = None,
 ):
     """G pass 3: reverse at eps_std_reverse + perceptual/GAN (HCFlow_SR_model.py:223-254).
 
     Returns (new_state, fake_h, metrics); fake_h is reused by the D step.
+    ``reverse_grad_clip`` — same config-gated stabilizer as make_sr_pixel_step.
     """
     from .losses import gan_loss
 
@@ -146,6 +172,8 @@ def make_sr_feagan_step(
             return total, (fake_h, metrics)
 
         (_, (fake_h, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if reverse_grad_clip:
+            grads = _clip_global_norm(grads, reverse_grad_clip)
         return _apply(tx, state, grads, advance_step=False), fake_h, metrics
 
     return jax.jit(step, donate_argnums=(0,))

@@ -186,3 +186,51 @@ def test_d_step_all_gan_types():
         dstate = init_state(dspec.init(jax.random.PRNGKey(0)), dtx)
         dstate, m = make_d_step(dspec.apply, dtx, t)(dstate, real, fake)
         assert jnp.isfinite(m["l_d_real"]) and jnp.isfinite(m["l_d_fake"])
+
+
+def test_pixel_step_stabilizers():
+    """Config-gated + stabilizers: pixel warmup ramp scales the loss from 0,
+    reverse_grad_clip bounds the gradient norm (documented deviations,
+    BENCHMARKS.md 'HCFlow+ fine-tune')."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from hcflow_tpu.train import init_state, make_optimizer
+    from hcflow_tpu.train.trainer import make_sr_pixel_step
+    from hcflow_tpu.train.losses import l1
+
+    model = tiny_sr_model()
+    tx = make_optimizer({"beta1": 0.9, "beta2": 0.99}, lambda s: 0.0)  # lr 0
+    params = model.init(jax.random.PRNGKey(0))
+    hr = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 3))
+    lr = jax.random.uniform(jax.random.PRNGKey(2), (1, 4, 4, 3))
+
+    base = make_sr_pixel_step(model, tx, 1.0, l1)
+    ramp = make_sr_pixel_step(model, tx, 1.0, l1, warmup_steps=100,
+                              warmup_start=0)
+
+    def fresh(step=0):  # the steps donate their state arg: rebuild each call
+        st = init_state(jax.tree.map(jnp.array, params), tx)
+        return st.replace(step=jnp.asarray(step, jnp.int32))
+
+    _, m0 = base(fresh(), jax.random.PRNGKey(3), hr, lr)
+    _, mr = ramp(fresh(), jax.random.PRNGKey(3), hr, lr)
+    assert float(mr["l_g_pix_hr"]) == 0.0  # step 0 of the ramp
+    _, mh = ramp(fresh(50), jax.random.PRNGKey(3), hr, lr)
+    np.testing.assert_allclose(float(mh["l_g_pix_hr"]),
+                               0.5 * float(m0["l_g_pix_hr"]), rtol=1e-5)
+    _, mf = ramp(fresh(1000), jax.random.PRNGKey(3), hr, lr)
+    np.testing.assert_allclose(float(mf["l_g_pix_hr"]), float(m0["l_g_pix_hr"]),
+                               rtol=1e-5)
+
+    # reverse_grad_clip: with a real lr, the clipped update differs and the
+    # clipping function itself bounds the norm
+    from hcflow_tpu.train.trainer import _clip_global_norm
+
+    grads = {"a": jnp.full((10,), 3.0)}
+    clipped = _clip_global_norm(grads, 1.0)
+    np.testing.assert_allclose(float(optax.global_norm(clipped)), 1.0, rtol=1e-5)
+    small = {"a": jnp.full((10,), 1e-3)}
+    np.testing.assert_allclose(np.asarray(_clip_global_norm(small, 1.0)["a"]),
+                               np.asarray(small["a"]), rtol=1e-6)
