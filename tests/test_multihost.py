@@ -156,23 +156,39 @@ for i in range(2):
 mesh = make_mesh()
 sh = NamedSharding(mesh, P("data"))
 
+# row index of each device = its POSITION along the mesh axis (device .id is
+# not a dense global index on multiprocess CPU backends)
+dev_pos = {d: i for i, d in enumerate(mesh.devices.flat)}
+
 def shard_batch(step):
     hr_full, lr_full = global_rows(step)  # deterministic, same on both ranks
     def mk(arr):
-        shards = [jax.device_put(arr[d.id : d.id + 1], d) for d in jax.local_devices()]
+        shards = [jax.device_put(arr[dev_pos[d] : dev_pos[d] + 1], d)
+                  for d in jax.local_devices()]
         return jax.make_array_from_single_device_arrays(arr.shape, sh, shards)
     return mk(hr_full), mk(lr_full)
 
+# AOT-compile the sharded executable BEFORE the barrier, then execute in
+# lockstep: gloo's collective rendezvous times out at 30s, and per-rank jit
+# compile times can skew beyond that on a loaded machine.
 st = jax.tree.map(np.copy, state0)
+hr_g0, lr_g0 = shard_batch(0)
+compiled = step_fn.lower(st, keys[0], hr_g0, lr_g0).compile()
+from jax._src import distributed
+
+distributed.global_state.client.wait_at_barrier("pre_exec", 600_000)
 sharded_nll = []
 for i in range(2):
-    hr_g, lr_g = shard_batch(i)
-    st, m = step_fn(st, keys[i], hr_g, lr_g)
+    hr_g, lr_g = shard_batch(i) if i else (hr_g0, lr_g0)
+    st, m = compiled(st, keys[i], hr_g, lr_g)
     sharded_nll.append(float(m["nll"]))
 
 for i, (a, b) in enumerate(zip(oracle_nll, sharded_nll)):
     assert abs(a - b) <= 1e-4 * max(1.0, abs(a)), (i, a, b)
 print(f"rank{rank} TRAIN OK nll={sharded_nll}", flush=True)
+# exit in lockstep: jax.distributed's implicit Shutdown barrier has a short
+# timeout, and per-rank wall time skews by minutes under load
+distributed.global_state.client.wait_at_barrier("done", 600_000)
 """
 
 
@@ -216,6 +232,7 @@ def test_two_process_sharded_train_step(tmp_path):
     for p in procs:
         out, _ = p.communicate(timeout=900)
         outs.append(out)
+    joined = "\n".join(f"--- rank{r} ---\n{o}" for r, o in enumerate(outs))
     for rank, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"rank{rank} failed:\n{out}"
-        assert f"rank{rank} TRAIN OK" in out, out
+        assert p.returncode == 0, f"rank{rank} failed:\n{joined}"
+        assert f"rank{rank} TRAIN OK" in out, joined
