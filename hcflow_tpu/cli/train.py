@@ -266,6 +266,7 @@ def main(argv=None):
     if d_state is not None:
         d_state = jax.device_put(d_state, repl_sh)
     n_dev = mesh.devices.size
+    _warned_ragged = {"flag": False}
 
     print_freq = opt_get(opt, ["logger", "print_freq"], 200)
     save_freq = int(opt_get(opt, ["logger", "save_checkpoint_freq"], 5000))
@@ -330,6 +331,13 @@ def main(argv=None):
                 hr = jax.device_put(hr, data_sh)
                 lr = jax.device_put(lr, data_sh)
             else:  # ragged tail batch: replicate (correct, just not sharded)
+                if n_dev > 1 and not _warned_ragged["flag"]:
+                    _warned_ragged["flag"] = True
+                    logger.warning(
+                        f"batch size {hr.shape[0]} not divisible by {n_dev} "
+                        "devices: this batch (and any like it) runs REPLICATED, "
+                        "serializing the step — fix batch_size or device count"
+                    )
                 hr, lr = jnp.asarray(hr), jnp.asarray(lr)
             k = jax.random.fold_in(base_key, step)
             metrics = {}

@@ -20,25 +20,27 @@ channels-in-sublanes / spatial-in-lanes layout:
 - features x1..x4 materialize once each (lrelu of a finished accumulator row
   block) and stay in VMEM; the RRDB input/output move by explicit DMA.
 
-Scoped-VMEM design (the round-3 fix for the fori-loop device fault): the round-2
-kernel compiled with an explicit 72 MB ``vmem_limit_bytes`` because Mosaic kept
-all 9 rolled tap temporaries of a source pass live at once (~45 MB scoped at
-80x80).  Kernels carrying large explicit limits faulted (UNAVAILABLE) when the
-full reverse graph ran inside ``lax.fori_loop`` while default-limit kernels in
-the same loop were stable.  This version stays under the 16 MB compiler default:
+Scoped-VMEM design (round 3): Mosaic's scoped-VMEM high-water is dominated by
+VALUE-STACK liveness — it keeps the rolled tap temporaries of a source pass live
+across the matmul chain because that liveness IS its software pipelining (the
+round-2 single-grid-cell kernel needed ~45 MB scoped at 80x80 and its perf
+tracked the allowed limit).  This version splits the grid per dense block,
+``grid=(B, 3)``: each grid cell runs ONE of the RRDB's 3 RDBs (weights stacked
+with a leading RDB axis read dynamically via ``program_id(1)``), cutting the
+kernel body — and with it Mosaic's value stack — 3x, down to a ~26-30 MB
+compile at the flagship shape with f32 residual carries (bf16 carries fit in
+19.5 MB but degrade parity to 5.9e-3; the f32 residual-carry chain matters).
+Taps flow straight into the dot's K operand (no staging ref): Mosaic overlaps
+the VPU rolls of group g+1 with the MXU dot of group g — the staged-ref variant
+serialized them, 3x slower.
 
-- every rolled tap is staged through ONE fixed f32 scratch buffer in
-  ``ROLL_CHUNK``-row slices (ref stores order the unrolled taps, so their value
-  live-ranges end and Mosaic reuses the registers instead of stacking 9 copies);
-- the working feature, residual base, DMA buffers and the accumulator are kept
-  in the net dtype (bf16 for serving — matching the XLA trunk, whose residual
-  adds are bf16 too; matmul partials still accumulate f32 inside the MXU and
-  chunked ``+=`` round once per source contribution, ≤5 per row block);
-- matmul output chunks are bounded to ``MM_CHUNK`` rows.
-
-No ``vmem_limit_bytes`` is passed: the kernel compiles in the same default
-scoped-VMEM regime as the chain kernels, which is the configuration proven
-stable under ``lax.fori_loop`` at full model scale.
+Compiled at an explicit 30 MB ``vmem_limit_bytes``.  Call-pattern status
+(measured, NOTES.md): single dispatches of the full fused reverse are stable —
+the production serving pattern — and halve the reverse pass vs chains-only
+(6.1 vs 3.4 MP/s in-model head-to-head).  Invoking the full fused reverse
+inside ``lax.fori_loop`` faults (UNAVAILABLE) whenever any kernel in the loop
+carries an explicit vmem limit >= ~22 MB; bench.py and predict.py therefore use
+the dispatch pattern, and ``fused="all"`` remains opt-in for loop contexts.
 
 Serving-only (no VJP): attached by FlowNetSpec.precompute_inference(fused=True);
 training and the correctness oracle stay on the XLA scatter path.
@@ -59,24 +61,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
-# Explicit scoped-vmem limit (MB).  The kernel's measured scoped high-water is
-# 19.53 MB at the flagship 80x80/nf64 bf16 shape (Mosaic compile report,
-# chunk-size independent), so 20 MB is the tight bound — far below the >=32 MB
-# regime where looped kernels faulted in round 2 (NOTES.md).  Overridable for
-# experiments; 0 selects the 16 MB compiler default (flagship shape won't fit).
-_VLIMIT = int(_os.environ.get("HCFLOW_RDB_VLIMIT_MB", "20"))
+# Explicit scoped-vmem limit (MB).  The grid-split kernel's measured compile
+# requirement is 26-30 MB at the flagship 80x80/nf64 shape with f32 carries
+# (probe history, NOTES.md round-3 log).  Overridable for experiments; 0
+# selects the 16 MB compiler default (flagship shape won't fit).
+_VLIMIT = int(_os.environ.get("HCFLOW_RDB_VLIMIT_MB", "30"))
 
 # Python-side gate: shapes whose estimate exceeds this fall back to the XLA
-# trunk.  Calibration: vmem_estimate() returns 11.2 MB at the flagship
-# 80x80/nf64 bf16 shape where Mosaic's measured scoped high-water is 19.53 MB
-# (ratio ~1.75 — Mosaic's value-stack overhead on the unrolled conv chain), so
-# the gate on the ESTIMATE scale is 11.5 MB, keeping the real requirement at or
-# below the 20 MB compiled limit.  Strictly conservative: estimates that pass
-# here compile.
-VMEM_BUDGET = int(11.5 * 2**20)
+# trunk.  vmem_estimate() returns 19.1 MB at the flagship 80x80/nf64 bf16 shape;
+# the gate passes shapes up to 20 MB on the estimate scale, which the measured
+# Mosaic high-water keeps within the compiled _VLIMIT (see probe history in
+# BENCHMARKS.md round 3).  Strictly conservative: estimates that pass here
+# compile at _VLIMIT.
+VMEM_BUDGET = 20 * 2**20
 MM_CHUNK = 64  # max matmul output rows per call (bounds f32 value temporaries)
-ROLL_CHUNK = 16  # rows rolled/masked per staged slice (bounds roll temporaries)
-LANE_CHUNK = 2048  # matmul lane (spatial) chunk; rolls need full lanes, dots don't
 
 
 def _rup(x: int, m: int) -> int:
@@ -110,18 +108,12 @@ class RDBSpec:
     def vmem_estimate(self) -> int:
         f32, net = 4, jnp.dtype(self.net_dtype).itemsize
         n = self.Np
-        buf = self.rows * n * net  # acc
+        buf = self.rows * n * f32  # acc (f32: partial-sum accumulation)
         buf += 3 * self.nf * n * net  # stack buffer (3 taps x max cin)
-        buf += self.nf * n * net  # xbuf
-        buf += self.nf * n * net  # xorig (RRDB residual base)
+        buf += 2 * self.nf * n * f32  # xbuf + xorig (f32 residual carries)
         buf += self.gc * n * f32  # xt
-        # bounded value temporaries: the roll phase and the matmul phase do not
-        # overlap; budget the larger (roll/mask slices at full lanes vs
-        # lane-chunked stack read + matmul out + acc rmw)
-        lc = min(LANE_CHUNK, n)
-        roll_t = 4 * ROLL_CHUNK * n * f32
-        mm_t = 3 * self.nf * lc * net + 3 * MM_CHUNK * lc * f32
-        buf += max(roll_t, mm_t)
+        # bounded value temporaries: roll/mask chain + stack read + matmul out
+        buf += 4 * self.nf * n * f32
         srcs = self.nf + 4 * self.gc
         w = 3 * 9 * srcs * self.rows * net  # upper bound on packed weights
         return buf + w
@@ -148,12 +140,13 @@ def pack_rrdb(spec: RDBSpec, rrdb_params: dict) -> dict:
     """
     nd = spec.net_dtype
     nf, gc = spec.nf, spec.gc
-    packed = {}
+    per_rdb = {s: [] for s in range(5)}
+    biases = []
     for r in range(3):
         rdb = rrdb_params[f"rdb{r + 1}"]
         ws = [rdb[f"conv{j}"]["w"] for j in range(1, 6)]  # (3,3,cin_j,out_j)
         bs = [rdb[f"conv{j}"]["b"] for j in range(1, 6)]
-        packed[f"b{r}"] = jnp.concatenate(bs).astype(jnp.float32)  # (rows,)
+        biases.append(jnp.concatenate(bs))
         for s, (start, cin, _off, _rows) in enumerate(_src_slices(nf, gc)):
             # source s feeds convs s+1..5 (conv indices s..4 in 0-base)
             w_s = jnp.concatenate(
@@ -162,13 +155,16 @@ def pack_rrdb(spec: RDBSpec, rrdb_params: dict) -> dict:
             w_s = jnp.transpose(w_s, (0, 3, 1, 2)).reshape(
                 3, w_s.shape[3], 3 * cin
             )  # (grp, rows, 3*cin) with tap-major K blocks
-            packed[f"w{r}_{s}"] = w_s.astype(nd)
+            per_rdb[s].append(w_s.astype(nd))
+    # stacked over the 3 dense blocks: the kernel's grid dim picks [r] dynamically
+    packed = {f"w{s}": jnp.stack(per_rdb[s]) for s in range(5)}  # (3, grp, rows_s, 3cin)
+    # (3, 1, rows): the leading RDB index is read dynamically in-kernel, which
+    # Mosaic only allows on an untiled leading dim (not the sublane dim of a 2-D)
+    packed["b"] = jnp.stack(biases)[:, None, :].astype(jnp.float32)
     return packed
 
 
-_PACK_KEYS = tuple(
-    [f"w{r}_{s}" for r in range(3) for s in range(5)] + [f"b{r}" for r in range(3)]
-)
+_PACK_KEYS = tuple([f"w{s}" for s in range(5)] + ["b"])
 
 
 def _dot(a, b, nd):
@@ -186,10 +182,11 @@ def _make_kernel(spec: RDBSpec):
     slices = _src_slices(nf, gc)
 
     def kernel(*refs):
-        xin = refs[0]  # HBM (B, nf, Np) net dtype
+        xin = refs[0]  # HBM (B, nf, Np) f32
         wrefs = {k: r for k, r in zip(_PACK_KEYS, refs[1 : 1 + len(_PACK_KEYS)])}
-        xout, xbuf, xorig, xt, acc, sbuf, sem = refs[1 + len(_PACK_KEYS) :]
+        xout, xbuf, xorig, xt, acc, sem = refs[1 + len(_PACK_KEYS) :]
         b = pl.program_id(0)
+        r = pl.program_id(1)  # dense block index: grid minor dim, sequential
 
         n_idx = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
         col, row = n_idx % W, n_idx // W
@@ -203,58 +200,51 @@ def _make_kernel(spec: RDBSpec):
             )
             masks.append(m.astype(jnp.float32))
 
-        pltpu.make_async_copy(xin.at[b], xorig, sem).start()
-        pltpu.make_async_copy(xin.at[b], xorig, sem).wait()
-        xbuf[...] = xorig[...]
+        @pl.when(r == 0)
+        def _load():
+            pltpu.make_async_copy(xin.at[b], xorig, sem).start()
+            pltpu.make_async_copy(xin.at[b], xorig, sem).wait()
+            xbuf[...] = xorig[...]
 
-        for r in range(3):
-            # bias init + source contributions; all wide value temporaries are
-            # chunked in both rows (MM_CHUNK) and lanes (LANE_CHUNK)
-            for r0 in range(0, rows, MM_CHUNK):
-                r1 = min(r0 + MM_CHUNK, rows)
-                for n0 in range(0, Np, LANE_CHUNK):
-                    n1 = min(n0 + LANE_CHUNK, Np)
-                    acc[r0:r1, n0:n1] = jnp.broadcast_to(
-                        wrefs[f"b{r}"][r0:r1][:, None], (r1 - r0, n1 - n0)
-                    ).astype(nd)
-            for s, (_start, cin, off, rows_s) in enumerate(slices):
-                src = xbuf if s == 0 else xt  # xbuf is net dtype, xt is f32
-                for g in range(3):
-                    for i in range(3):
-                        # roll over the PADDED lane dim; masks zero pad/boundary.
-                        # ROLL_CHUNK row slices (upcast inline: pltpu.roll needs
-                        # 32-bit data) keep each roll/mask temporary small and
-                        # their live-ranges disjoint (scoped-VMEM).
-                        t = 3 * g + i
-                        dy, dx = t // 3 - 1, t % 3 - 1
-                        offr = dy * W + dx
-                        for c0 in range(0, cin, ROLL_CHUNK):
-                            c1 = min(c0 + ROLL_CHUNK, cin)
-                            v = src[c0:c1, :].astype(jnp.float32)
-                            if offr:
-                                v = pltpu.roll(v, (-offr) % Np, 1)
-                            sbuf[i * cin + c0 : i * cin + c1, :] = (
-                                v * masks[t]
-                            ).astype(nd)
-                    wg = wrefs[f"w{r}_{s}"]
-                    for n0 in range(0, Np, LANE_CHUNK):
-                        n1 = min(n0 + LANE_CHUNK, Np)
-                        sv = sbuf[: 3 * cin, n0:n1]
-                        for r0 in range(0, rows_s, MM_CHUNK):
-                            r1 = min(r0 + MM_CHUNK, rows_s)
-                            acc[off + r0 : off + r1, n0:n1] += _dot(
-                                wg[g, r0:r1, :], sv, nd
-                            ).astype(nd)
-                if s < 4:
-                    # x_{s+1} = lrelu(conv_{s+1} output) — its row block is complete
-                    v = acc[s * gc : (s + 1) * gc, :].astype(jnp.float32)
-                    xt[...] = jnp.where(v > 0, v, 0.2 * v)
-            # RDB residual: out5 rows are the conv5 block
-            xbuf[...] = (acc[4 * gc :, :] * 0.2 + xbuf[...]).astype(nd)
-        # RRDB residual vs the ORIGINAL input, then DMA out
-        xbuf[...] = (xbuf[...] * 0.2 + xorig[...]).astype(nd)
-        pltpu.make_async_copy(xbuf, xout.at[b], sem).start()
-        pltpu.make_async_copy(xbuf, xout.at[b], sem).wait()
+        # ---- one dense block (the body is 1/3 of the old unrolled kernel: the
+        # Mosaic value stack, the scoped-VMEM driver, shrinks accordingly)
+        for r0 in range(0, rows, MM_CHUNK):
+            r1 = min(r0 + MM_CHUNK, rows)
+            acc[r0:r1, :] = jnp.broadcast_to(
+                wrefs["b"][r, 0, r0:r1][:, None], (r1 - r0, Np)
+            )
+        for s_i, (_start, cin, off, rows_s) in enumerate(slices):
+            # value-flow im2col: the 3 rolled+masked taps of a group concat into
+            # the dot's K operand directly (no staging ref) — Mosaic overlaps the
+            # VPU rolls of group g+1 with the MXU dot of group g; the staged-ref
+            # variant serialized them (3x slower, probe history BENCHMARKS.md)
+            src_v = (xbuf[...] if s_i == 0 else xt[...])  # f32 (roll needs 32-bit)
+            for g in range(3):
+                taps = []
+                for i in range(3):
+                    t = 3 * g + i
+                    dy, dx = t // 3 - 1, t % 3 - 1
+                    offr = dy * W + dx
+                    v = pltpu.roll(src_v, (-offr) % Np, 1) if offr else src_v
+                    taps.append((v * masks[t]).astype(nd))
+                sv = jnp.concatenate(taps, axis=0)
+                wg = wrefs[f"w{s_i}"]
+                for r0 in range(0, rows_s, MM_CHUNK):
+                    r1 = min(r0 + MM_CHUNK, rows_s)
+                    acc[off + r0 : off + r1, :] += _dot(wg[r, g, r0:r1, :], sv, nd)
+            if s_i < 4:
+                # x_{s+1} = lrelu(conv_{s+1} output) — its row block is complete
+                v = acc[s_i * gc : (s_i + 1) * gc, :]
+                xt[...] = jnp.where(v > 0, v, 0.2 * v)
+        # RDB residual: out5 rows are the conv5 block
+        xbuf[...] = acc[4 * gc :, :] * 0.2 + xbuf[...]
+
+        @pl.when(r == 2)
+        def _store():
+            # RRDB residual vs the ORIGINAL input, then DMA out
+            xbuf[...] = xbuf[...] * 0.2 + xorig[...]
+            pltpu.make_async_copy(xbuf, xout.at[b], sem).start()
+            pltpu.make_async_copy(xbuf, xout.at[b], sem).wait()
 
     return kernel
 
@@ -267,20 +257,19 @@ def _build_call(spec: RDBSpec, B: int, interpret: bool):
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     in_specs += [vm()] * len(_PACK_KEYS)
     scratch = [
-        pltpu.VMEM((nf, Np), nd),  # xbuf (working feature)
-        pltpu.VMEM((nf, Np), nd),  # xorig (RRDB residual base)
+        pltpu.VMEM((nf, Np), jnp.float32),  # xbuf (working feature, f32 carry)
+        pltpu.VMEM((nf, Np), jnp.float32),  # xorig (RRDB residual base)
         pltpu.VMEM((gc, Np), jnp.float32),  # xt
-        pltpu.VMEM((spec.rows, Np), nd),  # acc
-        pltpu.VMEM((3 * nf, Np), nd),  # tap-stack buffer
+        pltpu.VMEM((spec.rows, Np), jnp.float32),  # acc (f32 partial sums)
         pltpu.SemaphoreType.DMA(()),
     ]
     srcs_k = 9 * (nf + 4 * gc)
     return pl.pallas_call(
         _make_kernel(spec),
-        grid=(B,),
+        grid=(B, 3),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        out_shape=jax.ShapeDtypeStruct((B, nf, Np), nd),
+        out_shape=jax.ShapeDtypeStruct((B, nf, Np), jnp.float32),
         scratch_shapes=scratch,
         compiler_params=(
             pltpu.CompilerParams(vmem_limit_bytes=_VLIMIT * 2**20)
@@ -288,7 +277,7 @@ def _build_call(spec: RDBSpec, B: int, interpret: bool):
         ),
         cost_estimate=pl.CostEstimate(
             flops=3 * 2 * spec.N * srcs_k * spec.rows // 2,  # rough (rows shrink)
-            bytes_accessed=2 * B * nf * Np * jnp.dtype(nd).itemsize,
+            bytes_accessed=2 * B * nf * Np * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -297,7 +286,7 @@ def _build_call(spec: RDBSpec, B: int, interpret: bool):
 
 def rrdb_apply(spec: RDBSpec, packed: dict, x_cn: jnp.ndarray,
                interpret: Optional[bool] = None) -> jnp.ndarray:
-    """One fused RRDB on channel-major input (B, nf, Np) net-dtype (lane-padded)."""
+    """One fused RRDB on channel-major input (B, nf, Np) f32 (lane-padded)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B = x_cn.shape[0]
@@ -319,7 +308,7 @@ def trunk_apply(spec: RDBSpec, packed_list: list, x_nhwc: jnp.ndarray,
     """Fused RRDB trunk on NHWC input: one layout transpose in, one out."""
     B, H, W, C = x_nhwc.shape
     in_dtype = x_nhwc.dtype
-    x = jnp.transpose(x_nhwc.astype(spec.net_dtype), (0, 3, 1, 2)).reshape(
+    x = jnp.transpose(x_nhwc.astype(jnp.float32), (0, 3, 1, 2)).reshape(
         B, C, H * W
     )
     if spec.Np != spec.N:
