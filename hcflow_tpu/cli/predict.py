@@ -46,10 +46,11 @@ class Predictor:
         else:
             params = self.model.init(jax.random.PRNGKey(0))
         # Fused kernels only on real TPU (interpret mode would crawl on CPU).
-        # Default is chains-only (fused=True): the RRDB trunk kernel
-        # (fused="all") is opt-in until its fori-loop fault is root-caused.
+        # Default is the full fused path (chains + RRDB trunks): the round-2
+        # fori-loop fault is root-caused and fixed (pallas_rdb.py docstring),
+        # so fused="all" is safe in every call pattern.
         if fused is None:
-            fused = jax.default_backend() == "tpu"
+            fused = "all" if jax.default_backend() == "tpu" else False
         self.params = self.model.flow.precompute_inference(params, fused=fused)
         self.default_heat = _DEFAULT_HEAT.get(model_type, 0.9)
         self._rev = jax.jit(lambda p, k, x, e: self.model.reverse(p, k, x, e))
@@ -86,12 +87,12 @@ def main(argv=None):
     parser.add_argument("--out", default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cpu", action="store_true")
-    parser.add_argument("--fused_all", action="store_true",
-                        help="opt into the fused RRDB trunk kernel (experimental)")
+    parser.add_argument("--fused", choices=["all", "chains", "off"], default=None,
+                        help="kernel fusion: all (default on TPU), chains-only, or off")
     args = parser.parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    fused = "all" if args.fused_all else None
+    fused = {None: None, "all": "all", "chains": True, "off": False}[args.fused]
     pred = Predictor(args.model_type, args.opt, args.checkpoint, fused=fused)
     out = pred.predict(args.image, args.out, args.heat, args.seed)
     print(out)

@@ -341,10 +341,10 @@ class FlowNetSpec:
             so = lv.cond_spec
             # accumulator row blocks are sublane slices at multiples of gc: the
             # fused trunk needs 8-aligned channel counts (all shipped configs).
-            # fused="all" only: the RRDB kernel is faster standalone (2.1x) but
-            # currently faults when looped inside the full model on-device — see
-            # BENCHMARKS.md "Mosaic scoped-VMEM"; chains-only is the proven
-            # serving default until that is root-caused.
+            # The round-2 fori-loop fault is root-caused and fixed (the kernel
+            # now fits the 16 MB default scoped-VMEM limit — pallas_rdb.py
+            # docstring); fused="all" is safe in both dispatch and in-graph
+            # loop contexts and is the production serving default.
             if fused == "all" and so.rrdb_gc % 8 == 0 and so.rrdb_nf % 8 == 0:
                 from ..ops import pallas_rdb
 

@@ -34,13 +34,17 @@ Taps flow straight into the dot's K operand (no staging ref): Mosaic overlaps
 the VPU rolls of group g+1 with the MXU dot of group g — the staged-ref variant
 serialized them, 3x slower.
 
-Compiled at an explicit 30 MB ``vmem_limit_bytes``.  Call-pattern status
-(measured, NOTES.md): single dispatches of the full fused reverse are stable —
-the production serving pattern — and halve the reverse pass vs chains-only
-(6.1 vs 3.4 MP/s in-model head-to-head).  Invoking the full fused reverse
-inside ``lax.fori_loop`` faults (UNAVAILABLE) whenever any kernel in the loop
-carries an explicit vmem limit >= ~22 MB; bench.py and predict.py therefore use
-the dispatch pattern, and ``fused="all"`` remains opt-in for loop contexts.
+The kernel fits the flagship shape under the 16 MB compiler-DEFAULT scoped
+limit (no explicit ``vmem_limit_bytes``): bf16 xorig/xt scratch (cast after the
+f32 DMA; the XLA oracle keeps these bf16 anyway — parity 1.6e-3 rel) and 32-row
+matmul chunks.  This is the round-3 root-cause fix for the fori-loop device
+fault: kernels compiled with ANY explicit vmem limit above the default (18, 20,
+22, 26, 30, 48, 72 MB all bisected) fault UNAVAILABLE when the full fused
+reverse runs inside ``lax.fori_loop`` — even when actual usage fits in 16.26 MB
+— while the same kernels are stable as single dispatches.  In the default
+regime both patterns are stable and fast: 39 ms/iter in-graph (10.4 MP/s/chip)
+vs 68 ms dispatch (6.1 MP/s, ~28 ms host overhead per call), so ``fused="all"``
+is unconditional for both serving and looped contexts.
 
 Serving-only (no VJP): attached by FlowNetSpec.precompute_inference(fused=True);
 training and the correctness oracle stay on the XLA scatter path.
@@ -61,19 +65,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
-# Explicit scoped-vmem limit (MB).  The grid-split kernel's measured compile
-# requirement is 26-30 MB at the flagship 80x80/nf64 shape with f32 carries
-# (probe history, NOTES.md round-3 log).  Overridable for experiments; 0
-# selects the 16 MB compiler default (flagship shape won't fit).
-_VLIMIT = int(_os.environ.get("HCFLOW_RDB_VLIMIT_MB", "30"))
+# Explicit scoped-vmem limit (MB) — EXPERIMENTS ONLY.  Default 0 = the 16 MB
+# compiler default, the only regime proven lax.fori_loop-safe (round-3 bisect:
+# explicit limits 18-72 MB all fault in-loop; NOTES.md).
+_VLIMIT = int(_os.environ.get("HCFLOW_RDB_VLIMIT_MB", "0"))
+
+# Fit-under-default mode (bf16 xorig/xt scratch + 32-row matmul chunks): the
+# production default.  0 restores f32 scratch + MM_CHUNK 64 for experiments
+# (needs HCFLOW_RDB_VLIMIT_MB >= ~26 to compile the flagship shape).
+_FIT16 = _os.environ.get("HCFLOW_RDB_FIT16", "1") == "1"
 
 # Python-side gate: shapes whose estimate exceeds this fall back to the XLA
-# trunk.  vmem_estimate() returns 19.1 MB at the flagship 80x80/nf64 bf16 shape;
-# the gate passes shapes up to 20 MB on the estimate scale, which the measured
-# Mosaic high-water keeps within the compiled _VLIMIT (see probe history in
-# BENCHMARKS.md round 3).  Strictly conservative: estimates that pass here
-# compile at _VLIMIT.
-VMEM_BUDGET = 20 * 2**20
+# trunk.  Calibration: vmem_estimate() returns 19.1 MB at the flagship
+# 80x80/nf64 bf16 shape, whose measured Mosaic requirement in FIT16 mode is
+# 15.9 MB (16.26 before the bf16-xt shave) — just inside the 16 MB default.
+# The gate passes estimates up to 19.2 MB so the flagship shape is the largest
+# admitted; anything bigger falls back to the XLA trunk rather than risking a
+# scoped-VMEM compile failure.
+VMEM_BUDGET = int(19.2 * 2**20)
 MM_CHUNK = 64  # max matmul output rows per call (bounds f32 value temporaries)
 
 
@@ -180,6 +189,7 @@ def _make_kernel(spec: RDBSpec):
     rows = spec.rows
     nd = spec.net_dtype
     slices = _src_slices(nf, gc)
+    mm = 32 if _FIT16 else MM_CHUNK
 
     def kernel(*refs):
         xin = refs[0]  # HBM (B, nf, Np) f32
@@ -202,14 +212,14 @@ def _make_kernel(spec: RDBSpec):
 
         @pl.when(r == 0)
         def _load():
-            pltpu.make_async_copy(xin.at[b], xorig, sem).start()
-            pltpu.make_async_copy(xin.at[b], xorig, sem).wait()
-            xbuf[...] = xorig[...]
+            pltpu.make_async_copy(xin.at[b], xbuf, sem).start()
+            pltpu.make_async_copy(xin.at[b], xbuf, sem).wait()
+            xorig[...] = xbuf[...].astype(xorig.dtype)
 
         # ---- one dense block (the body is 1/3 of the old unrolled kernel: the
         # Mosaic value stack, the scoped-VMEM driver, shrinks accordingly)
-        for r0 in range(0, rows, MM_CHUNK):
-            r1 = min(r0 + MM_CHUNK, rows)
+        for r0 in range(0, rows, mm):
+            r1 = min(r0 + mm, rows)
             acc[r0:r1, :] = jnp.broadcast_to(
                 wrefs["b"][r, 0, r0:r1][:, None], (r1 - r0, Np)
             )
@@ -218,7 +228,7 @@ def _make_kernel(spec: RDBSpec):
             # the dot's K operand directly (no staging ref) — Mosaic overlaps the
             # VPU rolls of group g+1 with the MXU dot of group g; the staged-ref
             # variant serialized them (3x slower, probe history BENCHMARKS.md)
-            src_v = (xbuf[...] if s_i == 0 else xt[...])  # f32 (roll needs 32-bit)
+            src_v = (xbuf[...] if s_i == 0 else xt[...].astype(jnp.float32))  # roll needs 32-bit
             for g in range(3):
                 taps = []
                 for i in range(3):
@@ -229,20 +239,20 @@ def _make_kernel(spec: RDBSpec):
                     taps.append((v * masks[t]).astype(nd))
                 sv = jnp.concatenate(taps, axis=0)
                 wg = wrefs[f"w{s_i}"]
-                for r0 in range(0, rows_s, MM_CHUNK):
-                    r1 = min(r0 + MM_CHUNK, rows_s)
+                for r0 in range(0, rows_s, mm):
+                    r1 = min(r0 + mm, rows_s)
                     acc[off + r0 : off + r1, :] += _dot(wg[r, g, r0:r1, :], sv, nd)
             if s_i < 4:
                 # x_{s+1} = lrelu(conv_{s+1} output) — its row block is complete
                 v = acc[s_i * gc : (s_i + 1) * gc, :]
-                xt[...] = jnp.where(v > 0, v, 0.2 * v)
+                xt[...] = jnp.where(v > 0, v, 0.2 * v).astype(xt.dtype)
         # RDB residual: out5 rows are the conv5 block
         xbuf[...] = acc[4 * gc :, :] * 0.2 + xbuf[...]
 
         @pl.when(r == 2)
         def _store():
             # RRDB residual vs the ORIGINAL input, then DMA out
-            xbuf[...] = xbuf[...] * 0.2 + xorig[...]
+            xbuf[...] = xbuf[...] * 0.2 + xorig[...].astype(jnp.float32)
             pltpu.make_async_copy(xbuf, xout.at[b], sem).start()
             pltpu.make_async_copy(xbuf, xout.at[b], sem).wait()
 
@@ -258,8 +268,8 @@ def _build_call(spec: RDBSpec, B: int, interpret: bool):
     in_specs += [vm()] * len(_PACK_KEYS)
     scratch = [
         pltpu.VMEM((nf, Np), jnp.float32),  # xbuf (working feature, f32 carry)
-        pltpu.VMEM((nf, Np), jnp.float32),  # xorig (RRDB residual base)
-        pltpu.VMEM((gc, Np), jnp.float32),  # xt
+        pltpu.VMEM((nf, Np), nd if _FIT16 else jnp.float32),  # xorig (residual base)
+        pltpu.VMEM((gc, Np), nd if _FIT16 else jnp.float32),  # xt
         pltpu.VMEM((spec.rows, Np), jnp.float32),  # acc (f32 partial sums)
         pltpu.SemaphoreType.DMA(()),
     ]
@@ -273,7 +283,7 @@ def _build_call(spec: RDBSpec, B: int, interpret: bool):
         scratch_shapes=scratch,
         compiler_params=(
             pltpu.CompilerParams(vmem_limit_bytes=_VLIMIT * 2**20)
-            if _VLIMIT else None
+            if _VLIMIT and not _FIT16 else None
         ),
         cost_estimate=pl.CostEstimate(
             flops=3 * 2 * spec.N * srcs_k * spec.rows // 2,  # rough (rows shrink)
