@@ -180,3 +180,29 @@ def test_predictor_loads_orbax_directory_checkpoint(tmp_path):
 
     got = cv2.imread(out)[:, :, ::-1].astype(np.float32) / 255.0
     np.testing.assert_allclose(got, np.clip(want, 0, 1), atol=1.5 / 255)
+
+
+def test_predict_cli_fused_flag_mapping():
+    """--fused {all,chains,off} maps to precompute_inference's fused values;
+    default resolves by backend (cli/predict.py:main)."""
+    import hcflow_tpu.cli.predict as predict_mod
+
+    captured = {}
+
+    class FakePred:
+        def __init__(self, model_type, opt, checkpoint, fused=None):
+            captured["fused"] = fused
+
+        def predict(self, image, out, heat, seed):
+            return "out.png"
+
+    orig = predict_mod.Predictor
+    predict_mod.Predictor = FakePred
+    try:
+        for flag, expect in (("all", "all"), ("chains", True), ("off", False)):
+            predict_mod.main(["--image", "x.png", "--fused", flag])
+            assert captured["fused"] == expect, (flag, captured)
+        predict_mod.main(["--image", "x.png"])
+        assert captured["fused"] is None  # backend-resolved in Predictor
+    finally:
+        predict_mod.Predictor = orig
