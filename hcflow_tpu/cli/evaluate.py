@@ -179,5 +179,8 @@ class Evaluator:
                     f"{averages.get('lr_ssim', 0):.4f}, "
                     f"diversity: {averages.get(f'diversity@{heat}', 0):.4f}, "
                     f"NLL: {averages.get('nll', 0):.4f}"
+                    + (f", {self.lpips_label}: "
+                       f"{averages[f'{self.lpips_label}@{heat}']:.4f}"
+                       if f"{self.lpips_label}@{heat}" in averages else "")
                 )
         return averages

@@ -36,7 +36,8 @@ def main(argv=None):
     model_spec = config_mod.model_spec_from_opt(opt)
 
     ckpt_path = config_mod.opt_get(opt, ["path", "pretrain_model_G"])
-    if ckpt_path and os.path.isfile(ckpt_path):
+    # os.path.exists (not isfile): orbax checkpoints are directories
+    if ckpt_path and os.path.exists(ckpt_path):
         logger.info(f"loading checkpoint {ckpt_path}")
         params = load_any(ckpt_path, model_spec.flow)
         if isinstance(params, dict) and "params" in params:

@@ -206,3 +206,57 @@ def test_predict_cli_fused_flag_mapping():
         assert captured["fused"] is None  # backend-resolved in Predictor
     finally:
         predict_mod.Predictor = orig
+
+
+def test_test_cli_loads_orbax_directory_checkpoint(tmp_path):
+    """cli/test.py must accept orbax *directory* checkpoints (same regression class
+    as the Predictor: os.path.isfile rejected dirs -> silent random init)."""
+    import jax
+    import yaml
+
+    import hcflow_tpu.cli.test as test_cli
+    from hcflow_tpu.data.util import save_img
+    from hcflow_tpu.utils import config as config_mod
+    from hcflow_tpu.utils.checkpoint import save_checkpoint, wait_for_saves
+
+    gt_dir = tmp_path / "gt"
+    gt_dir.mkdir()
+    save_img(str(gt_dir / "a.png"),
+             np.random.default_rng(0).random((16, 16, 3)).astype(np.float32))
+
+    yml = str(tmp_path / "opt.yml")
+    yaml.safe_dump(
+        {"name": "t", "model": "HCFlow_SR", "scale": 4, "quant": 64,
+         "path": {"root": str(tmp_path)},
+         "datasets": {"test": {"name": "one", "mode": "GT",
+                               "dataroot_GT": str(gt_dir)}},
+         "network_G": {"in_nc": 3, "flowDownsampler": TINY_FD},
+         "val": {"heats": [0.0], "n_sample": 1}},
+        open(yml, "w"),
+    )
+    spec = config_mod.model_spec_from_opt(config_mod.parse(yml, is_train=False))
+    params = spec.init(jax.random.PRNGKey(42))
+    ckpt = str(tmp_path / "100_G.ckpt")
+    save_checkpoint(ckpt, {"params": params, "step": 100}, backend="orbax")
+    wait_for_saves()
+    assert os.path.isdir(ckpt)
+    with open(yml) as f:
+        opt_d = yaml.safe_load(f)
+    opt_d["path"]["pretrain_model_G"] = ckpt
+    yaml.safe_dump(opt_d, open(yml, "w"))
+
+    loaded = {}
+    orig_load = test_cli.load_any
+
+    def spy(path, *a, **k):
+        loaded["path"] = path
+        return orig_load(path, *a, **k)
+
+    test_cli.load_any = spy
+    try:
+        test_cli.main(["--opt", yml])
+    finally:
+        test_cli.load_any = orig_load
+    # the orbax DIRECTORY checkpoint must have gone through load_any (no silent
+    # random-init fallback)
+    assert loaded.get("path") == ckpt, loaded
