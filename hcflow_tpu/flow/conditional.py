@@ -112,7 +112,8 @@ class ConditionalFlowSpec:
                 nf=self.rrdb_nf, gc=self.rrdb_gc, H=x.shape[1], W=x.shape[2],
                 compute_dtype=cd,
             )
-            if spec.vmem_estimate() <= pallas_rdb.VMEM_BUDGET:
+            if (spec.vmem_estimate() <= pallas_rdb.VMEM_BUDGET
+                    and pallas_rdb.kernel_compiles(spec)):
                 return pallas_rdb.trunk_apply(spec, fused, x)
         return nets.apply_rrdb_trunk(params[name], x, cd, remat=self.remat_trunks)
 

@@ -294,6 +294,62 @@ def _build_call(spec: RDBSpec, B: int, interpret: bool):
     )
 
 
+_PROBE_CACHE: dict = {}
+
+# Shapes measured compiling (and serving) on-device inside the default scoped
+# limit — every encoder shape of the shipped x4/x8 flagship configs.  These
+# skip the AOT probe so the production path never depends on remote-compile
+# availability; novel shapes are probed before first use.
+_VALIDATED = {(512, 64, 32), (1664, 64, 32), (6400, 64, 32)}
+
+
+def kernel_compiles(spec: RDBSpec) -> bool:
+    """AOT-probe that Mosaic can compile this shape inside the default scoped-VMEM
+    limit.  Needed because scoped-VMEM demand is NOT monotone in shape (measured:
+    80x80/nf64 fits the 16 MB default at 15.9 MB while 64x64 needs 18.39 MB —
+    Mosaic pipelines smaller shapes deeper), so no closed-form estimate gate can
+    be sound.  The probe compiles a B=1 program (per-grid-cell scoped usage is
+    batch-independent), once per shape; on scoped-VMEM failure the caller falls
+    back to the XLA trunk instead of crashing at dispatch.  Definitive outcomes
+    (compiled / scoped-VMEM OOM) are cached; transient infra errors (e.g. a
+    remote-compile transport failure) also fall back but are NOT cached so a
+    later call can retry."""
+    if jax.default_backend() != "tpu":
+        return True  # interpret path has no scoped-VMEM constraint
+    if (spec.Np, spec.nf, spec.gc) in _VALIDATED:
+        return True
+    if spec in _PROBE_CACHE:
+        return _PROBE_CACHE[spec]
+    nd = spec.net_dtype
+    args = [jax.ShapeDtypeStruct((1, spec.nf, spec.Np), jnp.float32)]
+    for _s, (_start, cin, _off, rows_s) in enumerate(_src_slices(spec.nf, spec.gc)):
+        args.append(jax.ShapeDtypeStruct((3, 3, rows_s, 3 * cin), nd))
+    args.append(jax.ShapeDtypeStruct((3, 1, spec.rows), jnp.float32))
+    import logging
+
+    log = logging.getLogger("base")
+    try:
+        jax.jit(_build_call(spec, 1, False)).lower(*args).compile()
+        _PROBE_CACHE[spec] = True
+        return True
+    except Exception as e:  # noqa: BLE001 — classify below; fall back either way
+        msg = str(e).lower()
+        if "vmem" in msg or "scoped" in msg:
+            _PROBE_CACHE[spec] = False  # definitive: the shape does not fit
+            log.warning(
+                f"fused RRDB kernel exceeds the scoped-VMEM limit at "
+                f"{spec.H}x{spec.W} (nf={spec.nf}, gc={spec.gc}); using the "
+                "XLA trunk for this shape"
+            )
+        else:
+            log.warning(
+                f"fused-RRDB compile probe failed at {spec.H}x{spec.W} with a "
+                f"non-VMEM error ({type(e).__name__}); using the XLA trunk for "
+                "this trace (will re-probe on the next one)"
+            )
+        return False
+
+
 def rrdb_apply(spec: RDBSpec, packed: dict, x_cn: jnp.ndarray,
                interpret: Optional[bool] = None) -> jnp.ndarray:
     """One fused RRDB on channel-major input (B, nf, Np) f32 (lane-padded)."""
