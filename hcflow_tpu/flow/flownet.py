@@ -287,10 +287,11 @@ class FlowNetSpec:
         jitted hot path (they otherwise run per reverse/forward call).
 
         fused=True additionally packs every eligible step chain (Affine+FCN+invconv)
-        for the fused Pallas inverse kernel (ops/pallas_chain.py) — the serving fast
-        path on TPU; fused="all" also packs the RRDB trunks for the experimental
-        encoder kernel (ops/pallas_rdb.py).  Training params must never carry
-        these (no VJP).
+        for the fused Pallas inverse kernel (ops/pallas_chain.py); fused="all"
+        also packs the RRDB trunks for the fused encoder kernel
+        (ops/pallas_rdb.py) — together the production serving path on TPU (safe
+        in dispatch and in-graph loop contexts; see the pallas_rdb docstring).
+        Training params must never carry these (no VJP).
         """
         from ..ops import invconv as invconv_mod
         from ..ops import pallas_chain
