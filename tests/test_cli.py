@@ -126,11 +126,22 @@ def test_evaluator_metric_grid():
         "mode": "GT", "phase": "val", "scale": 4, "n_max": 1,
         "dataroot_GT": "/root/reference/datasets/example_face_8X/HR",
     })
-    ev = Evaluator(model, params, heats=[0.0, 0.8], n_sample=2, scale=4)
+    lines = []
+
+    class _Log:
+        def info(self, msg):
+            lines.append(msg)
+
+    ev = Evaluator(model, params, heats=[0.0, 0.8], n_sample=2, scale=4,
+                   lpips_fn=lambda a, b: float(np.abs(a - b).mean()),
+                   lpips_label="lpips_rand", logger=_Log())
     out = ev.run(DataLoader(ds, batch_size=1), jax.random.PRNGKey(1))
     for key in ("nll", "lr_psnr", "psnr@0.0", "ssim@0.8", "bic_psnr@0.0",
-                "diversity@0.8", "psnr_y@0.0"):
+                "diversity@0.8", "psnr_y@0.0", "lpips_rand@0.0"):
         assert key in out, out.keys()
+    # the summary line must carry the lpips column (reference test_HCFlow.py:132)
+    avg = [ln for ln in lines if ln.startswith("---- average")]
+    assert avg and all("lpips_rand:" in ln for ln in avg), avg
     assert out["diversity@0.0"] < 1e-6  # deterministic at heat 0
     assert out["diversity@0.8"] > 0.01
     assert out["n_images"] == 1
