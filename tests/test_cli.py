@@ -271,3 +271,23 @@ def test_test_cli_loads_orbax_directory_checkpoint(tmp_path):
     # the orbax DIRECTORY checkpoint must have gone through load_any (no silent
     # random-init fallback)
     assert loaded.get("path") == ckpt, loaded
+
+
+def test_tb_writer_writes_event_file(tmp_path):
+    """TBWriter produces a TensorBoard event file when torch.utils.tensorboard
+    is available (reference: SummaryWriter in tb_logger/<name>,
+    train_HCFlow.py:96-105) and degrades to a no-op otherwise."""
+    from hcflow_tpu.utils.logging import TBWriter
+
+    w = TBWriter(str(tmp_path / "tb"))
+    w.add_scalar("train/nll", 1.5, 10)
+    w.add_scalar("val/psnr", 27.4, 10)
+    w.close()
+    if w._w is not None:  # backend present: an events file must exist
+        files = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+        assert files, list((tmp_path / "tb").iterdir())
+        assert files[0].stat().st_size > 0
+    # None log_dir is always a silent no-op
+    w2 = TBWriter(None)
+    w2.add_scalar("x", 1.0, 0)
+    w2.close()
