@@ -26,6 +26,7 @@ TFLOP per HR megapixel (torch-profiler-measured) divided by a deliberately gener
 """
 
 import json
+import os
 import statistics
 import sys
 import time
@@ -43,6 +44,17 @@ BATCH = 16
 LR_HW = 40
 SCALE = 4
 ITERS = 10
+
+
+def _backend_ready(deadline_s=300.0):
+    """Bounded TPU-backend readiness probe (utils/backend_guard.py): daemon-
+    thread first-device-op with a wall-clock deadline + bounded retries, so a
+    wedged tunnel produces a fast machine-readable JSON line instead of a hang
+    or rc=1 stack trace (BENCH_r03.json failure mode)."""
+    from hcflow_tpu.utils.backend_guard import backend_ready
+
+    ok, reason = backend_ready(deadline_s=deadline_s)
+    return ok, ("" if ok else f"tpu-unavailable: {reason}")
 
 
 def _model(compute_dtype, fused):
@@ -91,32 +103,48 @@ def measure_fori(compute_dtype, lr, key, scale=SCALE, lr_hw=LR_HW, fused=True):
 
 
 def main():
+    ready, reason = _backend_ready()
+    if not ready:
+        # fast, machine-readable failure instead of rc=1 + stack trace
+        print(json.dumps({
+            "metric": "x4_sr_inverse_throughput", "value": None,
+            "unit": "MP/s/chip", "vs_baseline": None, "error": reason,
+        }))
+        print(f"bench aborted: {reason}", file=sys.stderr)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+
     lr = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, LR_HW, LR_HW, 3))
     key = jax.random.PRNGKey(2)
+    fallback_reason = None
     try:
         mps = measure_fori("bfloat16", lr, key, fused="all")
         method = "fori-all"
     except Exception as e:  # noqa: BLE001 — fall back to dispatch, then chains-only
-        print(f"fori-all failed ({type(e).__name__}); dispatch fallback", file=sys.stderr)
+        fallback_reason = f"fori-all failed: {type(e).__name__}: {str(e)[:300]}"
+        print(fallback_reason + "; dispatch fallback", file=sys.stderr)
         try:
             mps = measure_dispatch("bfloat16", lr)
             method = "dispatch-median-all"
         except Exception as e2:  # noqa: BLE001
+            fallback_reason += (
+                f" | dispatch failed: {type(e2).__name__}: {str(e2)[:300]}"
+            )
             print(f"dispatch failed ({type(e2).__name__}); chains-only fori",
                   file=sys.stderr)
             mps = measure_fori("bfloat16", lr, key)
             method = "fori-chains-only"
-    print(
-        json.dumps(
-            {
-                "metric": "x4_sr_inverse_throughput",
-                "value": round(mps, 3),
-                "unit": "MP/s/chip",
-                "vs_baseline": (round(mps / BASELINE_MPS, 3) if BASELINE_MPS else None),
-                "method": method,
-            }
-        )
-    )
+    out = {
+        "metric": "x4_sr_inverse_throughput",
+        "value": round(mps, 3),
+        "unit": "MP/s/chip",
+        "vs_baseline": (round(mps / BASELINE_MPS, 3) if BASELINE_MPS else None),
+        "method": method,
+    }
+    if fallback_reason:
+        out["fallback_reason"] = fallback_reason
+    print(json.dumps(out))
     if "--all" in sys.argv:
         print(f"dispatch-median all: {measure_dispatch('bfloat16', lr):.3f} MP/s",
               file=sys.stderr)

@@ -92,6 +92,17 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from ..utils.backend_guard import backend_ready
+
+        ok, reason = backend_ready(deadline_s=300.0)
+        if not ok:
+            import os as _os
+            import sys as _sys
+
+            print(f"TPU backend unavailable: {reason}\n"
+                  "(re-run with --cpu to predict on CPU)", file=_sys.stderr)
+            _os._exit(3)
     fused = {None: None, "all": "all", "chains": True, "off": False}[args.fused]
     pred = Predictor(args.model_type, args.opt, args.checkpoint, fused=fused)
     out = pred.predict(args.image, args.out, args.heat, args.seed)

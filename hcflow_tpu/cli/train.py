@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import os
 import signal
+import sys
 import time
 
 import jax
@@ -79,6 +80,16 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # fail fast with a diagnosis instead of blocking forever on a wedged
+        # tunnel / held chip claim (utils/backend_guard.py)
+        from ..utils.backend_guard import backend_ready
+
+        ok, reason = backend_ready(deadline_s=600.0)
+        if not ok:
+            print(f"TPU backend unavailable: {reason}\n"
+                  "(re-run with --cpu to train on CPU)", file=sys.stderr)
+            os._exit(3)
 
     opt = config_mod.parse(args.opt, is_train=True)
     train_opt = opt["train"]
@@ -157,7 +168,18 @@ def main(argv=None):
     f_params = f_apply = None
     if gan_weight:
         gt_size = opt_get(opt, ["datasets", "train", "GT_size"], 160)
-        d_spec = VGGDiscriminatorSpec(input_size=gt_size)
+        which_d = opt_get(opt, ["network_D", "which_model_D"], "") or ""
+        if which_d == "PatchGANDiscriminator":
+            # ref networks.py:52-53: in_nc/ndf/n_layers from network_D
+            from ..models.discriminators import PatchGANDiscriminatorSpec
+
+            d_spec = PatchGANDiscriminatorSpec(
+                in_nc=opt_get(opt, ["network_D", "in_nc"], 3) or 3,
+                ndf=opt_get(opt, ["network_D", "ndf"], 64) or 64,
+                n_layers=opt_get(opt, ["network_D", "n_layers"], 5) or 5,
+            )
+        else:
+            d_spec = VGGDiscriminatorSpec(input_size=gt_size)
         key, k_d = jax.random.split(key)
         d_tx = make_d_optimizer(train_opt, schedule_from_opt({**train_opt, "lr_G": train_opt.get("lr_D", 1e-4)}))
         d_state = init_state(d_spec.init(k_d), d_tx)
@@ -323,7 +345,12 @@ def main(argv=None):
             step += 1
             if step in clear_at:
                 # reference lr_scheduler.py:23-24 (clear_state): drop optimizer
-                # moments at a restart; params are kept
+                # moments at a restart; params are kept.  The LR schedule is
+                # external (driven by TrainState.step, trainer.py
+                # _scale_by_iteration_schedule), so tx.init resets ONLY adam
+                # moments/bias-correction + finite counters — the schedule
+                # position survives, matching torch where the scheduler's
+                # last_epoch continues across optimizer.state clears.
                 logger.info(f"clear_state: resetting optimizer state at step {step}")
                 state = state.replace(opt_state=tx.init(state.params))
             hr, lr = batch["GT"], batch["LQ"]

@@ -299,8 +299,15 @@ _PROBE_CACHE: dict = {}
 # Shapes measured compiling (and serving) on-device inside the default scoped
 # limit — every encoder shape of the shipped x4/x8 flagship configs.  These
 # skip the AOT probe so the production path never depends on remote-compile
-# availability; novel shapes are probed before first use.
-_VALIDATED = {(512, 64, 32), (1664, 64, 32), (6400, 64, 32)}
+# availability; novel shapes are probed before first use.  Keyed on net_dtype
+# too: the fits-in-16MB evidence is specific to bf16 _FIT16 kernels, and the
+# allowlist is bypassed entirely when _FIT16 is off or _VLIMIT is set (those
+# modes change the kernel's scoped-VMEM footprint, so always probe).
+_VALIDATED = {
+    (512, 64, 32, "bfloat16"),
+    (1664, 64, 32, "bfloat16"),
+    (6400, 64, 32, "bfloat16"),
+}
 
 
 def kernel_compiles(spec: RDBSpec) -> bool:
@@ -316,7 +323,11 @@ def kernel_compiles(spec: RDBSpec) -> bool:
     later call can retry."""
     if jax.default_backend() != "tpu":
         return True  # interpret path has no scoped-VMEM constraint
-    if (spec.Np, spec.nf, spec.gc) in _VALIDATED:
+    if (
+        _FIT16
+        and not _VLIMIT
+        and (spec.Np, spec.nf, spec.gc, jnp.dtype(spec.net_dtype).name) in _VALIDATED
+    ):
         return True
     if spec in _PROBE_CACHE:
         return _PROBE_CACHE[spec]

@@ -87,9 +87,19 @@ def restart_steps(train_opt: dict):
     state is cleared when the scheduler's step counter hits them — i.e. at the
     training iteration numbered ``restart + 1`` (1-based, matching our ``step``
     counter which is incremented before the optimizer update).
+
+    DELIBERATE DEVIATION (documented in PARITY.md): the reference implements
+    clear_state only for MultiStepLR_Restart (HCFlow_SR_model.py:141-146 never
+    passes it to the cosine scheduler).  We honor it for the cosine scheme too,
+    keyed on the config's ``restarts`` list when present (the reference's
+    cosine configs carry explicit ``restarts`` at the T_period boundaries),
+    falling back to cumulative T_period boundaries otherwise.
     """
     if not train_opt.get("clear_state"):
         return frozenset()
+    restarts = train_opt.get("restarts") or []
+    if restarts:
+        return frozenset(int(r) + 1 for r in restarts)
     if train_opt.get("lr_scheme") == "CosineAnnealingLR_Restart":
         periods = list(train_opt.get("T_period") or [])
         acc, steps = 0, []
@@ -97,7 +107,7 @@ def restart_steps(train_opt: dict):
             acc += p_
             steps.append(acc + 1)
         return frozenset(steps)
-    return frozenset(int(r) + 1 for r in (train_opt.get("restarts") or []))
+    return frozenset()
 
 
 def schedule_from_opt(train_opt: dict):

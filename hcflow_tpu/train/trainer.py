@@ -36,6 +36,32 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
+def _scale_by_iteration_schedule(schedule) -> optax.GradientTransformationExtraArgs:
+    """Final -lr scaling driven by an externally supplied iteration index.
+
+    The LR is ``schedule(step)`` where ``step`` arrives as an extra update arg
+    (``TrainState.step``, advanced once per *training iteration* by the NLL/D
+    pass only), matching the reference's torch semantics where scheduler.step()
+    runs once per iteration regardless of how many optimizer.step() calls the
+    HCFlow+/++ multi-pass loop makes (HCFlow_SR_model.py:205 three G updates/it)
+    and where clear_state (lr_scheduler.py:23-24) resets optimizer moments but
+    never rewinds the scheduler.  An optax-internal schedule count would get
+    both wrong: it advances per tx.update (2-3x/iteration) and is zeroed by
+    tx.init at a clear_state restart.
+    """
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None, *, step, **extra):
+        del params, extra
+        lr = schedule(step)
+        return jax.tree.map(lambda u: -lr * u, updates), state
+
+    return optax.GradientTransformationExtraArgs(init_fn, update_fn)
+
+
 def make_optimizer(train_opt: dict, schedule) -> optax.GradientTransformation:
     clip_val = train_opt.get("max_grad_clip")
     clip_norm = train_opt.get("max_grad_norm")
@@ -45,17 +71,22 @@ def make_optimizer(train_opt: dict, schedule) -> optax.GradientTransformation:
         chain.append(optax.clip(clip_val))
     if clip_norm:
         chain.append(optax.clip_by_global_norm(clip_norm))
-    chain.append(
-        optax.adam(schedule, b1=train_opt.get("beta1", 0.9), b2=train_opt.get("beta2", 0.99))
-    )
     if wd:
-        chain.insert(-1, optax.add_decayed_weights(wd))
+        # pre-adam, i.e. torch Adam weight_decay semantics (grad += wd * param)
+        chain.append(optax.add_decayed_weights(wd))
+    chain.append(
+        optax.scale_by_adam(b1=train_opt.get("beta1", 0.9), b2=train_opt.get("beta2", 0.99))
+    )
+    chain.append(_scale_by_iteration_schedule(schedule))
     return optax.apply_if_finite(optax.chain(*chain), max_consecutive_errors=10**6)
 
 
 def make_d_optimizer(train_opt: dict, schedule) -> optax.GradientTransformation:
-    tx = optax.adam(
-        schedule, b1=train_opt.get("beta1_D", 0.9), b2=train_opt.get("beta2_D", 0.99)
+    tx = optax.chain(
+        optax.scale_by_adam(
+            b1=train_opt.get("beta1_D", 0.9), b2=train_opt.get("beta2_D", 0.99)
+        ),
+        _scale_by_iteration_schedule(schedule),
     )
     return optax.apply_if_finite(tx, max_consecutive_errors=10**6)
 
@@ -65,7 +96,7 @@ def init_state(params, tx) -> TrainState:
 
 
 def _apply(tx, state: TrainState, grads, advance_step: bool) -> TrainState:
-    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params, step=state.step)
     new_params = optax.apply_updates(state.params, updates)
     return TrainState(
         step=state.step + (1 if advance_step else 0), params=new_params, opt_state=new_opt

@@ -74,14 +74,57 @@ def test_clear_state_restart_steps():
     params = {"w": jnp.ones((3,))}
     state = init_state(params, tx)
     for _ in range(3):
-        u, new_opt = tx.update({"w": jnp.ones((3,))}, state.opt_state, state.params)
+        u, new_opt = tx.update({"w": jnp.ones((3,))}, state.opt_state, state.params,
+                               step=state.step)
         state = state.replace(params=optax.apply_updates(state.params, u),
-                              opt_state=new_opt)
+                              opt_state=new_opt, step=state.step + 1)
     mu_before = jax.tree_util.tree_leaves(state.opt_state)
     assert any(float(jnp.abs(m).sum()) > 0 for m in mu_before if hasattr(m, "sum"))
     cleared = state.replace(opt_state=tx.init(state.params))
     np.testing.assert_array_equal(np.asarray(cleared.params["w"]),
                                   np.asarray(state.params["w"]))
+
+
+def test_schedule_is_iteration_indexed():
+    """The LR is driven by TrainState.step, not optax's internal update count:
+    (a) multiple tx.update calls per iteration (HCFlow+/++: 2-3 G passes) do NOT
+    advance the schedule; (b) clear_state (tx.init) does NOT rewind it.
+    Reference semantics: torch scheduler.step() once per iteration,
+    lr_scheduler.py:23-24 clears only optimizer.state."""
+    import jax.numpy as jnp
+    import optax
+
+    from hcflow_tpu.train import init_state, make_optimizer
+    from hcflow_tpu.train.schedules import multistep_restart
+
+    sched = multistep_restart(1.0, milestones=[2], gamma=0.1)
+    tx = make_optimizer({}, sched)
+    params = {"w": jnp.zeros((1,))}
+    state = init_state(params, tx)
+    grads = {"w": jnp.ones((1,))}
+
+    def upd(state, advance):
+        u, new_opt = tx.update(grads, state.opt_state, state.params, step=state.step)
+        return state.replace(
+            params=optax.apply_updates(state.params, u), opt_state=new_opt,
+            step=state.step + (1 if advance else 0),
+        ), u["w"]
+
+    # iteration 0: three updates through the shared tx (nll+pix+feagan pattern);
+    # all three see schedule(0)=1.0 — with a count-driven schedule the third
+    # would already see the milestone decay
+    for _ in range(2):
+        state, u = upd(state, advance=False)
+        assert abs(float(-u[0]) - 1.0) < 1e-5, u
+    state, u = upd(state, advance=True)
+    assert abs(float(-u[0]) - 1.0) < 1e-5, u
+    # iterations 1, 2: milestone fires at step>=2 exactly
+    state, u = upd(state, advance=True)
+    assert abs(float(-u[0]) - 1.0) < 1e-5, u
+    # clear_state between: schedule position must survive
+    state = state.replace(opt_state=tx.init(state.params))
+    state, u = upd(state, advance=True)
+    assert abs(float(-u[0]) - 0.1) < 1e-6, u  # still decayed, not rewound to lr=1
 
 
 @pytest.mark.slow
@@ -118,6 +161,54 @@ def test_full_plusplus_iteration():
     dstate, m4 = make_d_step(dspec.apply, dtx)(dstate, hr, fake_h)
     assert jnp.isfinite(m4["l_d_real"]) and jnp.isfinite(m4["l_d_fake"])
     assert int(state.step) == 1 and int(dstate.step) == 1
+
+
+def test_patchgan_discriminator():
+    """PatchGANDiscriminator (ref discriminator_vgg_arch.py:159-189): stride-1
+    VALID 3x3 convs + BN, 1-channel prediction map — each of the n_layers+2
+    convs shrinks H/W by 2; gradients flow; works as the D in a GAN step."""
+    from hcflow_tpu.models.discriminators import PatchGANDiscriminatorSpec
+    from hcflow_tpu.train.schedules import schedule_from_opt
+    from hcflow_tpu.train.trainer import make_d_optimizer, make_d_step
+
+    spec = PatchGANDiscriminatorSpec(in_nc=3, ndf=8, n_layers=3)
+    p = spec.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 24, 24, 3))
+    out = spec.apply(p, x)
+    shrink = 2 * (spec.n_layers + 2)  # conv_in + n_layers + conv_out, valid 3x3
+    assert out.shape == (2, 24 - shrink, 24 - shrink, 1), out.shape
+
+    g = jax.grad(lambda pp: jnp.mean(spec.apply(pp, x) ** 2))(p)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree.leaves(g))
+    assert any(float(jnp.abs(l).max()) > 0 for l in jax.tree.leaves(g))
+
+    # full D update on the prediction map (gan_loss reduces over the map);
+    # lsgan per the reference's "patchgan uses lsgan" note
+    dtx = make_d_optimizer({"lr_D": 1e-4}, schedule_from_opt({"lr_G": 1e-4}))
+    dstate = init_state(p, dtx)
+    fake = jax.random.uniform(jax.random.PRNGKey(2), (2, 24, 24, 3))
+    dstate, m = make_d_step(spec.apply, dtx, gan_type="lsgan")(dstate, x, fake)
+    assert bool(jnp.isfinite(m["l_d_real"])) and bool(jnp.isfinite(m["l_d_fake"]))
+    assert int(dstate.step) == 1
+
+
+def test_patchgan_config_wiring():
+    """which_model_D: PatchGANDiscriminator selects the PatchGAN spec with
+    network_D in_nc/ndf/n_layers (ref networks.py:52-53)."""
+    from hcflow_tpu.models.discriminators import PatchGANDiscriminatorSpec
+    from hcflow_tpu.utils.config import opt_get
+
+    opt = {"network_D": {"which_model_D": "PatchGANDiscriminator",
+                         "in_nc": 3, "ndf": 16, "n_layers": 2}}
+    # mirrors the cli/train.py selection branch
+    which_d = opt_get(opt, ["network_D", "which_model_D"], "") or ""
+    assert which_d == "PatchGANDiscriminator"
+    spec = PatchGANDiscriminatorSpec(
+        in_nc=opt_get(opt, ["network_D", "in_nc"], 3) or 3,
+        ndf=opt_get(opt, ["network_D", "ndf"], 64) or 64,
+        n_layers=opt_get(opt, ["network_D", "n_layers"], 5) or 5,
+    )
+    assert spec.ndf == 16 and spec.n_layers == 2
 
 
 def test_nan_guard_skips_update():
