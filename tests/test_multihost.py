@@ -186,6 +186,41 @@ for i in range(2):
 for i, (a, b) in enumerate(zip(oracle_nll, sharded_nll)):
     assert abs(a - b) <= 1e-4 * max(1.0, abs(a)), (i, a, b)
 print(f"rank{rank} TRAIN OK nll={sharded_nll}", flush=True)
+
+# --- multi-process checkpoint semantics: save on rank0 only, resume on BOTH
+# ranks to identical params (reference base_model.py save/load is rank0-gated
+# via is_main_process; resume broadcasts the same file to every rank).
+from hcflow_tpu.parallel import is_main_process
+from hcflow_tpu.utils.checkpoint import save_checkpoint, load_checkpoint, wait_for_saves
+
+ckpt_dir = os.environ["_CKPT_DIR"]
+ckpt_path = os.path.join(ckpt_dir, "mp_test.state")
+# addressable shards only -> numpy on each rank; rank0 holds the full
+# replicated view, so its save is the canonical global state
+host_state = jax.tree.map(
+    lambda x: np.asarray(jax.device_get(x)) if hasattr(x, "sharding") else np.asarray(x),
+    st,
+)
+if is_main_process():
+    save_checkpoint(ckpt_path, {"params": host_state.params, "step": int(st.step)},
+                    backend=os.environ.get("_CKPT_BACKEND", "pickle"))
+    wait_for_saves()
+distributed.global_state.client.wait_at_barrier("ckpt_saved", 600_000)
+assert os.path.exists(ckpt_path), ckpt_path  # both ranks see the rank0 save
+loaded = load_checkpoint(ckpt_path, like={"params": host_state.params, "step": 0})
+for a, b in zip(jax.tree.leaves(loaded["params"]), jax.tree.leaves(host_state.params)):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+assert int(loaded["step"]) == int(st.step)
+# resumed params drive one more sharded step on both ranks (true resume);
+# AOT-compile then barrier (compile-time skew vs gloo rendezvous, as above)
+st2 = init_state(loaded["params"], tx).replace(step=jnp.asarray(loaded["step"], jnp.int32))
+st2 = jax.device_put(st2, NamedSharding(mesh, P()))
+hr_g, lr_g = shard_batch(0)
+compiled2 = step_fn.lower(st2, jax.random.PRNGKey(13), hr_g, lr_g).compile()
+distributed.global_state.client.wait_at_barrier("pre_exec2", 600_000)
+st2, m2 = compiled2(st2, jax.random.PRNGKey(13), hr_g, lr_g)
+assert np.isfinite(float(m2["nll"]))
+print(f"rank{rank} CKPT OK resumed_step={int(loaded['step'])}", flush=True)
 # exit in lockstep: jax.distributed's implicit Shutdown barrier has a short
 # timeout, and per-rank wall time skews by minutes under load
 distributed.global_state.client.wait_at_barrier("done", 600_000)
@@ -206,6 +241,8 @@ def test_two_process_sharded_train_step(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = tmp_path / "child_train.py"
     script.write_text(_CHILD_TRAIN)
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
     procs = []
     for rank in range(2):
         env = dict(os.environ)
@@ -215,6 +252,8 @@ def test_two_process_sharded_train_step(tmp_path):
             JAX_NUM_PROCESSES="2",
             JAX_PROCESS_ID=str(rank),
             _REPO=repo,
+            _CKPT_DIR=str(ckpt_dir),
+            _CKPT_BACKEND="pickle",
         )
         flags = " ".join(
             f for f in env.get("XLA_FLAGS", "").split()
@@ -236,3 +275,4 @@ def test_two_process_sharded_train_step(tmp_path):
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank{rank} failed:\n{joined}"
         assert f"rank{rank} TRAIN OK" in out, joined
+        assert f"rank{rank} CKPT OK" in out, joined
