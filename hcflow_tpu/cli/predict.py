@@ -92,7 +92,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    else:
+    elif (jax.config.jax_platforms or "").strip().lower() != "cpu":
         from ..utils.backend_guard import backend_ready
 
         ok, reason = backend_ready(deadline_s=300.0)

@@ -80,7 +80,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    else:
+    elif (jax.config.jax_platforms or "").strip().lower() != "cpu":
         # fail fast with a diagnosis instead of blocking forever on a wedged
         # tunnel / held chip claim (utils/backend_guard.py)
         from ..utils.backend_guard import backend_ready

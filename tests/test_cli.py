@@ -273,6 +273,82 @@ def test_test_cli_loads_orbax_directory_checkpoint(tmp_path):
     assert loaded.get("path") == ckpt, loaded
 
 
+@pytest.mark.slow
+def test_rescaling_train_eval_e2e(tmp_path):
+    """Full rescaling pipeline through the CLIs at tiny scale: the joint
+    fwd+inv STE train step (cli/train.py is_rescaling branch), checkpointing,
+    then the rescaling eval protocol (ref HCFlow_Rescaling_model.py:306-324 —
+    model-downscale HR, quantize the generated LR, reconstruct HR from it) via
+    cli/test.py. De-risks the on-chip campaign: every stage of
+    configs/train_rescaling_x4_onchip.yml runs here at toy scale."""
+    import yaml
+
+    import hcflow_tpu.cli.test as test_cli
+    from hcflow_tpu.cli import train as train_cli
+
+    resc_fd = {
+        "K": 2, "L": 2, "squeeze": "haar", "flow_permutation": "none",
+        "flow_coupling": "Affine3shift", "nn_module": "DenseBlock",
+        "hidden_channels": 8, "cond_channels": None,
+        "splitOff": {
+            "enable": True, "after_flowstep": [1, 1],
+            "flow_permutation": "invconv", "flow_coupling": "Affine",
+            "nn_module": "FCN", "nn_module_last": "Conv2dZeros",
+            "hidden_channels": 8, "RRDB_nb": [1, 1], "RRDB_nf": 8, "RRDB_gc": 4,
+        },
+    }
+    gt_root = "/root/reference/datasets/example_face_8X/HR"
+    train_opt = {
+        "name": "resc_smoke", "model": "HCFlow_Rescaling", "distortion": "sr",
+        "scale": 4, "use_tb_logger": False,
+        "datasets": {
+            "train": {"name": "f", "mode": "GT", "dataroot_GT": gt_root,
+                      "use_shuffle": True, "n_workers": 0, "batch_size": 2,
+                      "GT_size": 32, "use_flip": True, "color": "RGB"},
+        },
+        "network_G": {"which_model_G": "HCFlowNet_SR", "in_nc": 3, "out_nc": 3,
+                      "act_norm_start_step": 1, "flowDownsampler": resc_fd},
+        "path": {"root": str(tmp_path), "pretrain_model_G": None,
+                 "strict_load": True, "resume_state": None},
+        "logger": {"print_freq": 2, "save_checkpoint_freq": 4},
+        "train": {"lr_G": 2.5e-4, "lr_scheme": "MultiStepLR", "niter": 4,
+                  "max_grad_clip": 5, "max_grad_norm": 100, "beta1": 0.9,
+                  "beta2": 0.99, "warmup_iter": -1, "manual_seed": 0,
+                  "val_freq": 100, "weight_z": 1e-5,
+                  "pixel_criterion_lr": "l2", "pixel_weight_lr": 5e-2,
+                  "eps_std_reverse": 1.0, "pixel_criterion_hr": "l1",
+                  "pixel_weight_hr": 1.0, "feature_weight": 0, "gan_weight": 0},
+        "val": {"heats": [1.0], "n_sample": 1},
+    }
+    cfg = tmp_path / "train.yml"
+    cfg.write_text(yaml.safe_dump(train_opt))
+    state = train_cli.main(["--opt", str(cfg), "--cpu"])
+    assert int(state.step) == 4
+    ckpt = os.path.join(str(tmp_path), "experiments", "resc_smoke", "models", "4_G.ckpt")
+    assert os.path.exists(ckpt), ckpt
+
+    test_opt = {
+        "name": "resc_smoke_eval", "model": "HCFlow_Rescaling", "scale": 4,
+        "suffix": None,
+        "datasets": {"test_1": {"name": "f", "mode": "GT", "n_max": 1,
+                                "dataroot_GT": gt_root}},
+        "network_G": {"which_model_G": "HCFlowNet_Rescaling", "in_nc": 3,
+                      "out_nc": 3, "act_norm_start_step": 1,
+                      "flowDownsampler": resc_fd},
+        "path": {"root": str(tmp_path), "pretrain_model_G": ckpt,
+                 "strict_load": True},
+        "val": {"heats": [1.0], "n_sample": 1},
+    }
+    tcfg = tmp_path / "test.yml"
+    tcfg.write_text(yaml.safe_dump(test_opt))
+    results = test_cli.main(["--opt", str(tcfg), "--cpu"])
+    summary = results["f"]
+    # the rescaling protocol's two capability numbers must be present + finite:
+    # generated-LR fidelity and HR reconstruction from the quantized fake LR
+    assert np.isfinite(summary["lr_psnr"]), summary
+    assert np.isfinite(summary["psnr@1.0"]), summary
+
+
 def test_tb_writer_writes_event_file(tmp_path):
     """TBWriter produces a TensorBoard event file when torch.utils.tensorboard
     is available (reference: SummaryWriter in tb_logger/<name>,
