@@ -75,6 +75,19 @@ _VLIMIT = int(_os.environ.get("HCFLOW_RDB_VLIMIT_MB", "0"))
 # (needs HCFLOW_RDB_VLIMIT_MB >= ~26 to compile the flagship shape).
 _FIT16 = _os.environ.get("HCFLOW_RDB_FIT16", "1") == "1"
 
+# Grid-split granularity: "rdb" (default, grid=(B,3), one dense block per grid
+# cell — the round-3 shipped form) or "src" (grid=(B,3,5), one SOURCE FEATURE
+# per cell behind pl.when branches).  Rationale for "src": Mosaic's scoped-VMEM
+# high-water tracks the kernel BODY's value-stack liveness, and perf tracks the
+# pipelining headroom left under the 16 MB default (round-3 bisects, NOTES.md);
+# shrinking the body another ~5x frees headroom for deeper pipelining at the
+# same limit.  Experimental until measured on-chip.
+_SPLIT = _os.environ.get("HCFLOW_RDB_SPLIT", "rdb")
+
+# Matmul row-chunk override for on-chip sweeps (0 = mode default: 32 in FIT16,
+# MM_CHUNK otherwise).
+_MM_ENV = int(_os.environ.get("HCFLOW_RDB_MM", "0"))
+
 # Python-side gate: shapes whose estimate exceeds this fall back to the XLA
 # trunk.  Calibration: vmem_estimate() returns 19.1 MB at the flagship
 # 80x80/nf64 bf16 shape, whose measured Mosaic requirement in FIT16 mode is
@@ -189,7 +202,7 @@ def _make_kernel(spec: RDBSpec):
     rows = spec.rows
     nd = spec.net_dtype
     slices = _src_slices(nf, gc)
-    mm = 32 if _FIT16 else MM_CHUNK
+    mm = _MM_ENV or (32 if _FIT16 else MM_CHUNK)
 
     def kernel(*refs):
         xin = refs[0]  # HBM (B, nf, Np) f32
@@ -259,6 +272,86 @@ def _make_kernel(spec: RDBSpec):
     return kernel
 
 
+def _make_kernel_src(spec: RDBSpec):
+    """Per-source grid split: grid=(B, 3, 5), one source feature per cell.
+
+    Same math as _make_kernel with the source loop lifted into the grid's
+    sequential minor dim behind pl.when branches: only one branch executes per
+    cell, so Mosaic's value stack spans a single source pass (the largest is
+    source 0: three K=3*nf dots) instead of all five.  State (acc/xbuf/xt)
+    persists in scratch across cells exactly as it does across the rdb dim.
+    """
+    nf, gc, H, W, N, Np = spec.nf, spec.gc, spec.H, spec.W, spec.N, spec.Np
+    rows = spec.rows
+    nd = spec.net_dtype
+    slices = _src_slices(nf, gc)
+    mm = _MM_ENV or (32 if _FIT16 else MM_CHUNK)
+
+    def kernel(*refs):
+        xin = refs[0]
+        wrefs = {k: r for k, r in zip(_PACK_KEYS, refs[1 : 1 + len(_PACK_KEYS)])}
+        xout, xbuf, xorig, xt, acc, sem = refs[1 + len(_PACK_KEYS) :]
+        b = pl.program_id(0)
+        r = pl.program_id(1)
+        s = pl.program_id(2)
+
+        n_idx = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
+        col, row = n_idx % W, n_idx // W
+
+        @pl.when((r == 0) & (s == 0))
+        def _load():
+            pltpu.make_async_copy(xin.at[b], xbuf, sem).start()
+            pltpu.make_async_copy(xin.at[b], xbuf, sem).wait()
+            xorig[...] = xbuf[...].astype(xorig.dtype)
+
+        @pl.when(s == 0)
+        def _init_acc():
+            for r0 in range(0, rows, mm):
+                r1 = min(r0 + mm, rows)
+                acc[r0:r1, :] = jnp.broadcast_to(
+                    wrefs["b"][r, 0, r0:r1][:, None], (r1 - r0, Np)
+                )
+
+        for s_i, (_start, _cin, off, rows_s) in enumerate(slices):
+
+            @pl.when(s == s_i)
+            def _source(s_i=s_i, off=off, rows_s=rows_s):
+                src_v = xbuf[...] if s_i == 0 else xt[...].astype(jnp.float32)
+                for g in range(3):
+                    taps = []
+                    for i in range(3):
+                        t = 3 * g + i
+                        dy, dx = t // 3 - 1, t % 3 - 1
+                        m = (
+                            (n_idx < N)
+                            & (col + dx >= 0) & (col + dx < W)
+                            & (row + dy >= 0) & (row + dy < H)
+                        ).astype(jnp.float32)
+                        offr = dy * W + dx
+                        v = pltpu.roll(src_v, (-offr) % Np, 1) if offr else src_v
+                        taps.append((v * m).astype(nd))
+                    sv = jnp.concatenate(taps, axis=0)
+                    wg = wrefs[f"w{s_i}"]
+                    for r0 in range(0, rows_s, mm):
+                        r1 = min(r0 + mm, rows_s)
+                        acc[off + r0 : off + r1, :] += _dot(wg[r, g, r0:r1, :], sv, nd)
+                if s_i < 4:
+                    v = acc[s_i * gc : (s_i + 1) * gc, :]
+                    xt[...] = jnp.where(v > 0, v, 0.2 * v).astype(xt.dtype)
+
+        @pl.when(s == 4)
+        def _rdb_residual():
+            xbuf[...] = acc[4 * gc :, :] * 0.2 + xbuf[...]
+
+        @pl.when((r == 2) & (s == 4))
+        def _store():
+            xbuf[...] = xbuf[...] * 0.2 + xorig[...].astype(jnp.float32)
+            pltpu.make_async_copy(xbuf, xout.at[b], sem).start()
+            pltpu.make_async_copy(xbuf, xout.at[b], sem).wait()
+
+    return kernel
+
+
 @functools.lru_cache(maxsize=None)
 def _build_call(spec: RDBSpec, B: int, interpret: bool):
     nd = spec.net_dtype
@@ -275,8 +368,8 @@ def _build_call(spec: RDBSpec, B: int, interpret: bool):
     ]
     srcs_k = 9 * (nf + 4 * gc)
     return pl.pallas_call(
-        _make_kernel(spec),
-        grid=(B, 3),
+        _make_kernel_src(spec) if _SPLIT == "src" else _make_kernel(spec),
+        grid=(B, 3, 5) if _SPLIT == "src" else (B, 3),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct((B, nf, Np), jnp.float32),
@@ -326,6 +419,8 @@ def kernel_compiles(spec: RDBSpec) -> bool:
     if (
         _FIT16
         and not _VLIMIT
+        and _SPLIT == "rdb"  # fits-in-16MB evidence is specific to the shipped form
+        and not _MM_ENV
         and (spec.Np, spec.nf, spec.gc, jnp.dtype(spec.net_dtype).name) in _VALIDATED
     ):
         return True
