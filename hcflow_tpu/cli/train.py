@@ -327,6 +327,34 @@ def main(argv=None):
         prune_checkpoints(paths["models"], "_G.ckpt", keep=2, keep_period=5000)
         prune_checkpoints(paths["training_state"], ".state", keep=2, keep_period=5000)
 
+    def emergency_save(tag_step):
+        """Best-effort save after a device failure: the device->host transfer
+        itself may hang on a wedged backend, so run it in a daemon thread with
+        a deadline; a timed-out or failed save is logged and skipped (periodic
+        checkpoints bound the loss, and both write backends are atomic, so a
+        partial save cannot corrupt auto-resume)."""
+        if not is_main_process():
+            return
+        import threading
+
+        done = threading.Event()
+
+        def _try():
+            try:
+                save_all(tag_step)
+            except Exception as se:  # noqa: BLE001 — best-effort by design
+                logger.warning(f"emergency save failed: {type(se).__name__}: {se}")
+            finally:
+                done.set()
+
+        threading.Thread(target=_try, daemon=True).start()
+        if done.wait(180.0):
+            logger.info(f"emergency checkpoint written at step {tag_step}")
+        else:
+            logger.warning(
+                "emergency save timed out; relying on the last periodic checkpoint"
+            )
+
     from ..utils.profiling import ThroughputMeter
 
     meter = ThroughputMeter(window=max(int(print_freq), 10))
@@ -369,35 +397,52 @@ def main(argv=None):
             k = jax.random.fold_in(base_key, step)
             metrics = {}
 
-            if is_rescaling:
-                state, metrics = joint_step(state, k, hr, lr)
-            else:
-                # actnorm re-initialization window (NLL-only pretraining)
-                if step < act_norm_start and nll_only:
-                    new_params = calibrate_fn(state.params, k, hr, lr)
-                    state = state.replace(params=new_params)
+            try:
+                if is_rescaling:
+                    state, metrics = joint_step(state, k, hr, lr)
+                else:
+                    # actnorm re-initialization window (NLL-only pretraining)
+                    if step < act_norm_start and nll_only:
+                        new_params = calibrate_fn(state.params, k, hr, lr)
+                        state = state.replace(params=new_params)
 
-                g_turn = (step % d_update_ratio == 0 and step > d_init_iters) or not gan_weight
-                fake_h = None
-                if g_turn:
-                    state, m = nll_step(state, jax.random.fold_in(k, 0), hr, lr)
-                    metrics.update(m)
-                    if pix_step is not None:
-                        state, m = pix_step(state, jax.random.fold_in(k, 1), hr, lr)
+                    g_turn = (step % d_update_ratio == 0 and step > d_init_iters) or not gan_weight
+                    fake_h = None
+                    if g_turn:
+                        state, m = nll_step(state, jax.random.fold_in(k, 0), hr, lr)
                         metrics.update(m)
-                    if fg_step is not None:
-                        state, fake_h, m = fg_step(
-                            state, jax.random.fold_in(k, 2), hr, lr,
-                            d_state.params if d_state else None, f_params,
-                        )
+                        if pix_step is not None:
+                            state, m = pix_step(state, jax.random.fold_in(k, 1), hr, lr)
+                            metrics.update(m)
+                        if fg_step is not None:
+                            state, fake_h, m = fg_step(
+                                state, jax.random.fold_in(k, 2), hr, lr,
+                                d_state.params if d_state else None, f_params,
+                            )
+                            metrics.update(m)
+                    if gan_weight:
+                        if fake_h is None:
+                            fake_h = reverse_fn(
+                                state.params, jax.random.fold_in(k, 2), lr, eps_std_reverse
+                            )
+                        d_state, m = d_step(d_state, hr, fake_h)
                         metrics.update(m)
-                if gan_weight:
-                    if fake_h is None:
-                        fake_h = reverse_fn(
-                            state.params, jax.random.fold_in(k, 2), lr, eps_std_reverse
-                        )
-                    d_state, m = d_step(d_state, hr, fake_h)
-                    metrics.update(m)
+            except Exception as e:  # noqa: BLE001 — infra failures only; others re-raise
+                from ..utils.backend_guard import is_device_failure
+
+                if not is_device_failure(e):
+                    raise
+                # Mid-run tunnel/backend loss (NOTES.md axon gotchas): save what
+                # we can within a deadline and exit EX_TEMPFAIL so a supervisor
+                # can restart; resume_state auto picks up the newest checkpoint.
+                logger.error(
+                    f"device backend failure at step {step} "
+                    f"({type(e).__name__}: {str(e)[:300]}) - restart will "
+                    "auto-resume from the newest checkpoint"
+                )
+                emergency_save(step - 1)
+                tb.close()
+                raise SystemExit(75)  # EX_TEMPFAIL: retryable infra failure
 
             meter.tick(n_items=hr.shape[0], n_pixels=hr.shape[0] * hr.shape[1] * hr.shape[2])
             if step % print_freq == 0:

@@ -60,3 +60,27 @@ def backend_ready(
             f"backend init failed after {state['attempts']} attempt(s): {state['err']}"
         )
     return True, ""
+
+
+# XLA/infra status markers that mean "the device backend failed", as opposed to
+# a bug in the program: tunnel drop, chip claim lost, remote-compile transport
+# death.  Deliberately does NOT include generic XlaRuntimeError (a first-step
+# compile error is a program bug and must surface as one).
+_DEVICE_FAILURE_MARKERS = (
+    "UNAVAILABLE",
+    "INTERNAL:",
+    "DEADLINE_EXCEEDED",
+    "ABORTED",
+    "DATA_LOSS",
+    "Socket closed",
+    "Connection reset",
+    "failed to connect",
+)
+
+
+def is_device_failure(exc: BaseException) -> bool:
+    """True when an exception looks like backend/tunnel infrastructure failure
+    (retryable by restarting the process and auto-resuming from the last
+    checkpoint) rather than a program error."""
+    s = f"{type(exc).__name__}: {exc}"
+    return any(m in s for m in _DEVICE_FAILURE_MARKERS)

@@ -43,3 +43,63 @@ def test_train_preempt_resume_orbax(tmp_path):
     latest = latest_checkpoint(state_dir, ".state")
     saved = load_checkpoint(latest)
     assert int(saved["step"]) == 6
+
+
+@pytest.mark.slow
+def test_train_device_failure_saves_and_exits_tempfail(tmp_path, monkeypatch):
+    """Mid-run backend loss (the axon tunnel drop of NOTES.md): the train loop
+    classifies the exception via backend_guard.is_device_failure, writes an
+    emergency checkpoint within a deadline, and exits EX_TEMPFAIL (75) so a
+    supervisor can restart the process and resume_state:auto continues."""
+    with open("configs/smoke_train.yml") as f:
+        opt = yaml.safe_load(f)
+    opt["name"] = "smoke_devfail"
+    opt["path"]["root"] = str(tmp_path)
+    opt["train"]["niter"] = 6
+    opt["logger"]["save_checkpoint_freq"] = 100  # no periodic saves before the failure
+    opt["train"]["val_freq"] = 10_000
+    opt["network_G"]["act_norm_start_step"] = 1
+    cfg = tmp_path / "opt.yml"
+    cfg.write_text(yaml.safe_dump(opt))
+
+    real_make = train_cli.make_sr_nll_step
+    calls = {"n": 0}
+
+    def failing_make(spec, tx, *a, **kw):
+        real_step = real_make(spec, tx, *a, **kw)
+
+        def step(state, key, hr, lr):
+            calls["n"] += 1
+            if calls["n"] >= 3:
+                raise RuntimeError("UNAVAILABLE: TPU backend connection dropped")
+            return real_step(state, key, hr, lr)
+
+        return step
+
+    monkeypatch.setattr(train_cli, "make_sr_nll_step", failing_make)
+    with pytest.raises(SystemExit) as ei:
+        train_cli.main(["--opt", str(cfg), "--cpu"])
+    assert ei.value.code == 75
+    # emergency checkpoint for the last completed step (failure hit step 3)
+    models = os.path.join(str(tmp_path), "experiments", "smoke_devfail", "models")
+    assert os.path.exists(os.path.join(models, "2_G.ckpt")), os.listdir(models)
+
+    # a non-infra error must NOT be swallowed
+    calls["n"] = 0
+
+    def bug_make(spec, tx, *a, **kw):
+        real_step = real_make(spec, tx, *a, **kw)
+
+        def step(state, key, hr, lr):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise ValueError("a genuine program bug")
+            return real_step(state, key, hr, lr)
+
+        return step
+
+    opt["name"] = "smoke_devfail2"
+    cfg.write_text(yaml.safe_dump(opt))
+    monkeypatch.setattr(train_cli, "make_sr_nll_step", bug_make)
+    with pytest.raises(ValueError, match="genuine program bug"):
+        train_cli.main(["--opt", str(cfg), "--cpu"])

@@ -34,20 +34,33 @@ stage() { # name timeout_s cmd...
 stage bench 2400 python bench.py
 cp /tmp/r4_bench.log /tmp/bench_r4_check.json 2>/dev/null
 
+train_stage() { # name timeout_s config — retry once after a device failure
+  local name=$1 t=$2 cfg=$3
+  stage "$name" "$t" python -m hcflow_tpu.cli.train --opt "$cfg"
+  local rc=$?
+  if [ $rc -ne 0 ] && [ $rc -ne 99 ]; then
+    # rc=75 is the CLI's explicit EX_TEMPFAIL (device failure, checkpoint
+    # saved); timeouts/crashes also auto-resume.  Re-probe readiness first.
+    echo "$(date +%H:%M:%S) RETRY $name after rc=$rc" >> $STATUS
+    timeout 2400 bash -c 'until python tools/tpu_ready.py 90 | grep -q READY; do sleep 300; done'
+    stage "${name}_retry" "$t" python -m hcflow_tpu.cli.train --opt "$cfg"
+  fi
+}
+
 # 1. x8 NLL campaign (4000 steps, ~1h)
-stage x8_nll 14400 python -m hcflow_tpu.cli.train --opt configs/train_faces_x8_nll_onchip.yml
+train_stage x8_nll 14400 configs/train_faces_x8_nll_onchip.yml
 
 # 2. x8 NLL eval grid
 stage x8_nll_eval 5400 python -m hcflow_tpu.cli.test --opt configs/test_faces_x8_nll_onchip.yml
 
 # 3. x8 +stab fine-tune (2000 steps)
-stage x8_stab 14400 python -m hcflow_tpu.cli.train --opt configs/train_faces_x8_plus_stab_onchip.yml
+train_stage x8_stab 14400 configs/train_faces_x8_plus_stab_onchip.yml
 
 # 4. x8 stab eval grid
 stage x8_stab_eval 5400 python -m hcflow_tpu.cli.test --opt configs/test_faces_x8_stab_onchip.yml
 
 # 5. rescaling campaign (4000 steps)
-stage resc 14400 python -m hcflow_tpu.cli.train --opt configs/train_rescaling_x4_onchip.yml
+train_stage resc 14400 configs/train_rescaling_x4_onchip.yml
 
 # 6. rescaling eval (reference protocol: fake-LR fidelity + HR reconstruction)
 stage resc_eval 3600 python -m hcflow_tpu.cli.test --opt configs/test_rescaling_x4_onchip.yml
