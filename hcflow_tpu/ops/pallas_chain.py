@@ -47,6 +47,12 @@ import os as _os
 _DBUF = _os.environ.get("HCFLOW_CHAIN_DBUF", "0") == "1"
 _VLIMIT = int(_os.environ.get("HCFLOW_CHAIN_VLIMIT_MB", "0"))
 
+# conv1 as ONE stacked-tap matmul (K = 9*c1) instead of 9 skinny K=c1 dots:
+# lifts MXU contraction depth 9x at the cost of a 9-tap concat's value
+# liveness (9 * c1 * N f32, ~1.4 MB at the flagship shape).  Experimental
+# until measured on-chip (HCFLOW_CHAIN_C1STACK=1).
+_C1STACK = _os.environ.get("HCFLOW_CHAIN_C1STACK", "0") == "1"
+
 # Per-cell VMEM ceiling for choosing the fused path; configs whose buffers would not
 # fit (e.g. f32 x8 level-0 at large spatial sizes) fall back to the XLA scan path.
 VMEM_BUDGET = 14 * 2**20
@@ -135,6 +141,8 @@ def pack_inverse_chain(spec: ChainSpec, stacked: dict) -> dict:
     # conv1: (K,3,3,fin,hid); z-part = first c1 input channels (f_input = cat(z1, u))
     w1 = cpl["conv1"]["w"][:, :, :, :c1, :]
     w1 = jnp.transpose(w1, (0, 1, 2, 4, 3)).reshape(K, 9, hid, c1).astype(nd)
+    if _C1STACK:  # (K, hid, 9*c1): one tall dot against the stacked-tap buffer
+        w1 = jnp.transpose(w1, (0, 2, 1, 3)).reshape(K, hid, 9 * c1)
     b1 = cpl["conv1"]["actnorm"]["bias"].astype(jnp.float32)  # (K, hid)
     e1 = jnp.exp(cpl["conv1"]["actnorm"]["logs"]).astype(jnp.float32)
 
@@ -252,10 +260,17 @@ def _make_kernel(spec: ChainSpec):
 
             # conv1: input-gather over 9 taps of the tiny z1
             z1 = z1b[:c1, :]
-            acc = jnp.zeros((hid, N), jnp.float32)
-            for t in range(9):
-                zs = tap_roll(z1, t) * masks[t]
-                acc = acc + _dot(w1[k, t], zs.astype(nd), nd)
+            if _C1STACK:
+                sv = jnp.concatenate(
+                    [(tap_roll(z1, t) * masks[t]).astype(nd) for t in range(9)],
+                    axis=0,
+                )  # (9*c1, N)
+                acc = _dot(w1[k], sv, nd)
+            else:
+                acc = jnp.zeros((hid, N), jnp.float32)
+                for t in range(9):
+                    zs = tap_roll(z1, t) * masks[t]
+                    acc = acc + _dot(w1[k, t], zs.astype(nd), nd)
             if spec.cond:
                 uc_dma(k).wait()
                 acc = acc + ucb[(k % 2) if _DBUF else 0][:, :N].astype(jnp.float32)
