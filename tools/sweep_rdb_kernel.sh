@@ -22,6 +22,7 @@ run src-mm32          HCFLOW_RDB_SPLIT=src
 run src-mm64          HCFLOW_RDB_SPLIT=src HCFLOW_RDB_MM=64
 run src-mm16          HCFLOW_RDB_SPLIT=src HCFLOW_RDB_MM=16
 run rdb-mm64          HCFLOW_RDB_SPLIT=rdb HCFLOW_RDB_MM=64
+run src-mm128         HCFLOW_RDB_SPLIT=src HCFLOW_RDB_MM=128
 run c1stack           HCFLOW_CHAIN_C1STACK=1
 run c1stack-src       HCFLOW_CHAIN_C1STACK=1 HCFLOW_RDB_SPLIT=src
 cat "$OUT"
