@@ -303,196 +303,204 @@ def main(argv=None):
         logger.warning(f"signal {signum} received - saving state and stopping")
         stop_requested["flag"] = True
 
+    prev_handlers = (signal.getsignal(signal.SIGTERM), signal.getsignal(signal.SIGINT))
     signal.signal(signal.SIGTERM, _request_stop)
     signal.signal(signal.SIGINT, _request_stop)
+    try:
 
-    def save_all(tag_step):
-        save_checkpoint(
-            os.path.join(paths["models"], f"{tag_step}_G.ckpt"),
-            {"params": state.params, "step": tag_step},
-            backend=ckpt_backend,
-        )
-        save_checkpoint(
-            os.path.join(paths["training_state"], f"{tag_step}.state"),
-            {
-                "step": tag_step,
-                "params": state.params,
-                "opt_state": state.opt_state,
-                "d_params": d_state.params if d_state else None,
-                "d_opt_state": d_state.opt_state if d_state else None,
-                "epoch": epoch,
-            },
-            backend=ckpt_backend,
-        )
-        prune_checkpoints(paths["models"], "_G.ckpt", keep=2, keep_period=5000)
-        prune_checkpoints(paths["training_state"], ".state", keep=2, keep_period=5000)
-
-    def emergency_save(tag_step):
-        """Best-effort save after a device failure: the device->host transfer
-        itself may hang on a wedged backend, so run it in a daemon thread with
-        a deadline; a timed-out or failed save is logged and skipped (periodic
-        checkpoints bound the loss, and both write backends are atomic, so a
-        partial save cannot corrupt auto-resume)."""
-        if not is_main_process():
-            return
-        import threading
-
-        done = threading.Event()
-
-        def _try():
-            try:
-                save_all(tag_step)
-            except Exception as se:  # noqa: BLE001 — best-effort by design
-                logger.warning(f"emergency save failed: {type(se).__name__}: {se}")
-            finally:
-                done.set()
-
-        threading.Thread(target=_try, daemon=True).start()
-        if done.wait(180.0):
-            logger.info(f"emergency checkpoint written at step {tag_step}")
-        else:
-            logger.warning(
-                "emergency save timed out; relying on the last periodic checkpoint"
+        def save_all(tag_step):
+            save_checkpoint(
+                os.path.join(paths["models"], f"{tag_step}_G.ckpt"),
+                {"params": state.params, "step": tag_step},
+                backend=ckpt_backend,
             )
+            save_checkpoint(
+                os.path.join(paths["training_state"], f"{tag_step}.state"),
+                {
+                    "step": tag_step,
+                    "params": state.params,
+                    "opt_state": state.opt_state,
+                    "d_params": d_state.params if d_state else None,
+                    "d_opt_state": d_state.opt_state if d_state else None,
+                    "epoch": epoch,
+                },
+                backend=ckpt_backend,
+            )
+            prune_checkpoints(paths["models"], "_G.ckpt", keep=2, keep_period=5000)
+            prune_checkpoints(paths["training_state"], ".state", keep=2, keep_period=5000)
 
-    from ..utils.profiling import ThroughputMeter
+        def emergency_save(tag_step):
+            """Best-effort save after a device failure: the device->host transfer
+            itself may hang on a wedged backend, so run it in a daemon thread with
+            a deadline; a timed-out or failed save is logged and skipped (periodic
+            checkpoints bound the loss, and both write backends are atomic, so a
+            partial save cannot corrupt auto-resume)."""
+            if not is_main_process():
+                return
+            import threading
 
-    meter = ThroughputMeter(window=max(int(print_freq), 10))
-    logger.info(f"training from step {start_step} to {niter}")
-    step = start_step
-    epoch = 0
-    t_last = time.time()
-    base_key = jax.random.PRNGKey(seed + 1)
-    nll_only = not (pixel_weight_hr or gan_weight or fea_weight) and not is_rescaling
+            done = threading.Event()
 
-    while step < niter:
-        train_loader.set_epoch(epoch)
-        for batch in train_loader:
-            if step >= niter:
-                break
-            step += 1
-            if step in clear_at:
-                # reference lr_scheduler.py:23-24 (clear_state): drop optimizer
-                # moments at a restart; params are kept.  The LR schedule is
-                # external (driven by TrainState.step, trainer.py
-                # _scale_by_iteration_schedule), so tx.init resets ONLY adam
-                # moments/bias-correction + finite counters — the schedule
-                # position survives, matching torch where the scheduler's
-                # last_epoch continues across optimizer.state clears.
-                logger.info(f"clear_state: resetting optimizer state at step {step}")
-                state = state.replace(opt_state=tx.init(state.params))
-            hr, lr = batch["GT"], batch["LQ"]
-            if hr.shape[0] % n_dev == 0:
-                hr = jax.device_put(hr, data_sh)
-                lr = jax.device_put(lr, data_sh)
-            else:  # ragged tail batch: replicate (correct, just not sharded)
-                if n_dev > 1 and not _warned_ragged["flag"]:
-                    _warned_ragged["flag"] = True
-                    logger.warning(
-                        f"batch size {hr.shape[0]} not divisible by {n_dev} "
-                        "devices: this batch (and any like it) runs REPLICATED, "
-                        "serializing the step — fix batch_size or device count"
+            def _try():
+                try:
+                    save_all(tag_step)
+                except Exception as se:  # noqa: BLE001 — best-effort by design
+                    logger.warning(f"emergency save failed: {type(se).__name__}: {se}")
+                finally:
+                    done.set()
+
+            threading.Thread(target=_try, daemon=True).start()
+            if done.wait(180.0):
+                logger.info(f"emergency checkpoint written at step {tag_step}")
+            else:
+                logger.warning(
+                    "emergency save timed out; relying on the last periodic checkpoint"
+                )
+
+        from ..utils.profiling import ThroughputMeter
+
+        meter = ThroughputMeter(window=max(int(print_freq), 10))
+        logger.info(f"training from step {start_step} to {niter}")
+        step = start_step
+        epoch = 0
+        t_last = time.time()
+        base_key = jax.random.PRNGKey(seed + 1)
+        nll_only = not (pixel_weight_hr or gan_weight or fea_weight) and not is_rescaling
+
+        while step < niter:
+            train_loader.set_epoch(epoch)
+            for batch in train_loader:
+                if step >= niter:
+                    break
+                step += 1
+                if step in clear_at:
+                    # reference lr_scheduler.py:23-24 (clear_state): drop optimizer
+                    # moments at a restart; params are kept.  The LR schedule is
+                    # external (driven by TrainState.step, trainer.py
+                    # _scale_by_iteration_schedule), so tx.init resets ONLY adam
+                    # moments/bias-correction + finite counters — the schedule
+                    # position survives, matching torch where the scheduler's
+                    # last_epoch continues across optimizer.state clears.
+                    logger.info(f"clear_state: resetting optimizer state at step {step}")
+                    state = state.replace(opt_state=tx.init(state.params))
+                hr, lr = batch["GT"], batch["LQ"]
+                if hr.shape[0] % n_dev == 0:
+                    hr = jax.device_put(hr, data_sh)
+                    lr = jax.device_put(lr, data_sh)
+                else:  # ragged tail batch: replicate (correct, just not sharded)
+                    if n_dev > 1 and not _warned_ragged["flag"]:
+                        _warned_ragged["flag"] = True
+                        logger.warning(
+                            f"batch size {hr.shape[0]} not divisible by {n_dev} "
+                            "devices: this batch (and any like it) runs REPLICATED, "
+                            "serializing the step — fix batch_size or device count"
+                        )
+                    hr, lr = jnp.asarray(hr), jnp.asarray(lr)
+                k = jax.random.fold_in(base_key, step)
+                metrics = {}
+
+                try:
+                    if is_rescaling:
+                        state, metrics = joint_step(state, k, hr, lr)
+                    else:
+                        # actnorm re-initialization window (NLL-only pretraining)
+                        if step < act_norm_start and nll_only:
+                            new_params = calibrate_fn(state.params, k, hr, lr)
+                            state = state.replace(params=new_params)
+
+                        g_turn = (step % d_update_ratio == 0 and step > d_init_iters) or not gan_weight
+                        fake_h = None
+                        if g_turn:
+                            state, m = nll_step(state, jax.random.fold_in(k, 0), hr, lr)
+                            metrics.update(m)
+                            if pix_step is not None:
+                                state, m = pix_step(state, jax.random.fold_in(k, 1), hr, lr)
+                                metrics.update(m)
+                            if fg_step is not None:
+                                state, fake_h, m = fg_step(
+                                    state, jax.random.fold_in(k, 2), hr, lr,
+                                    d_state.params if d_state else None, f_params,
+                                )
+                                metrics.update(m)
+                        if gan_weight:
+                            if fake_h is None:
+                                fake_h = reverse_fn(
+                                    state.params, jax.random.fold_in(k, 2), lr, eps_std_reverse
+                                )
+                            d_state, m = d_step(d_state, hr, fake_h)
+                            metrics.update(m)
+                except Exception as e:  # noqa: BLE001 — infra failures only; others re-raise
+                    from ..utils.backend_guard import is_device_failure
+
+                    if not is_device_failure(e):
+                        raise
+                    # Mid-run tunnel/backend loss (NOTES.md axon gotchas): save what
+                    # we can within a deadline and exit EX_TEMPFAIL so a supervisor
+                    # can restart; resume_state auto picks up the newest checkpoint.
+                    logger.error(
+                        f"device backend failure at step {step} "
+                        f"({type(e).__name__}: {str(e)[:300]}) - restart will "
+                        "auto-resume from the newest checkpoint"
                     )
-                hr, lr = jnp.asarray(hr), jnp.asarray(lr)
-            k = jax.random.fold_in(base_key, step)
-            metrics = {}
+                    emergency_save(step - 1)
+                    tb.close()
+                    raise SystemExit(75)  # EX_TEMPFAIL: retryable infra failure
 
-            try:
-                if is_rescaling:
-                    state, metrics = joint_step(state, k, hr, lr)
-                else:
-                    # actnorm re-initialization window (NLL-only pretraining)
-                    if step < act_norm_start and nll_only:
-                        new_params = calibrate_fn(state.params, k, hr, lr)
-                        state = state.replace(params=new_params)
+                meter.tick(n_items=hr.shape[0], n_pixels=hr.shape[0] * hr.shape[1] * hr.shape[2])
+                if step % print_freq == 0:
+                    dt = (time.time() - t_last) / print_freq
+                    t_last = time.time()
+                    lr_now = float(schedule(step))
+                    msg = ", ".join(f"{k_}: {float(v):.4e}" for k_, v in metrics.items())
+                    logger.info(
+                        f"<epoch:{epoch:3d}, iter:{step:8,d}, lr:{lr_now:.3e}, "
+                        f"{dt:.3f}s/it, {meter.items_per_sec:.1f} img/s, "
+                        f"{meter.megapixels_per_sec:.2f} MP/s> {msg}"
+                    )
+                    for k_, v in metrics.items():
+                        tb.add_scalar(k_, float(v), step)
+                    tb.add_scalar("perf/img_per_sec", meter.items_per_sec, step)
 
-                    g_turn = (step % d_update_ratio == 0 and step > d_init_iters) or not gan_weight
-                    fake_h = None
-                    if g_turn:
-                        state, m = nll_step(state, jax.random.fold_in(k, 0), hr, lr)
-                        metrics.update(m)
-                        if pix_step is not None:
-                            state, m = pix_step(state, jax.random.fold_in(k, 1), hr, lr)
-                            metrics.update(m)
-                        if fg_step is not None:
-                            state, fake_h, m = fg_step(
-                                state, jax.random.fold_in(k, 2), hr, lr,
-                                d_state.params if d_state else None, f_params,
-                            )
-                            metrics.update(m)
-                    if gan_weight:
-                        if fake_h is None:
-                            fake_h = reverse_fn(
-                                state.params, jax.random.fold_in(k, 2), lr, eps_std_reverse
-                            )
-                        d_state, m = d_step(d_state, hr, fake_h)
-                        metrics.update(m)
-            except Exception as e:  # noqa: BLE001 — infra failures only; others re-raise
-                from ..utils.backend_guard import is_device_failure
+                if stop_requested["flag"]:
+                    if is_main_process():
+                        save_all(step)
+                    logger.info(f"stopped by signal at step {step}")
+                    tb.close()
+                    return state
 
-                if not is_device_failure(e):
-                    raise
-                # Mid-run tunnel/backend loss (NOTES.md axon gotchas): save what
-                # we can within a deadline and exit EX_TEMPFAIL so a supervisor
-                # can restart; resume_state auto picks up the newest checkpoint.
-                logger.error(
-                    f"device backend failure at step {step} "
-                    f"({type(e).__name__}: {str(e)[:300]}) - restart will "
-                    "auto-resume from the newest checkpoint"
-                )
-                emergency_save(step - 1)
-                tb.close()
-                raise SystemExit(75)  # EX_TEMPFAIL: retryable infra failure
-
-            meter.tick(n_items=hr.shape[0], n_pixels=hr.shape[0] * hr.shape[1] * hr.shape[2])
-            if step % print_freq == 0:
-                dt = (time.time() - t_last) / print_freq
-                t_last = time.time()
-                lr_now = float(schedule(step))
-                msg = ", ".join(f"{k_}: {float(v):.4e}" for k_, v in metrics.items())
-                logger.info(
-                    f"<epoch:{epoch:3d}, iter:{step:8,d}, lr:{lr_now:.3e}, "
-                    f"{dt:.3f}s/it, {meter.items_per_sec:.1f} img/s, "
-                    f"{meter.megapixels_per_sec:.2f} MP/s> {msg}"
-                )
-                for k_, v in metrics.items():
-                    tb.add_scalar(k_, float(v), step)
-                tb.add_scalar("perf/img_per_sec", meter.items_per_sec, step)
-
-            if stop_requested["flag"]:
-                if is_main_process():
+                if step % save_freq == 0 and is_main_process():
+                    logger.info(f"saving models and training states at step {step}")
                     save_all(step)
-                logger.info(f"stopped by signal at step {step}")
-                tb.close()
-                return state
 
-            if step % save_freq == 0 and is_main_process():
-                logger.info(f"saving models and training states at step {step}")
-                save_all(step)
+                if val_loader is not None and step % val_freq == 0:
+                    evaluator = Evaluator(
+                        model_spec, state.params, heats, n_sample=n_sample,
+                        scale=opt.get("scale", 4), logger=logger, rescaling=is_rescaling,
+                        save_dir=os.path.join(paths.get("val_images", paths["log"]),
+                                              f"iter_{step}") if is_main_process() else None,
+                    )
+                    results = evaluator.run(val_loader, jax.random.fold_in(base_key, niter + step))
+                    for k_, v in results.items():
+                        if isinstance(v, float):
+                            tb.add_scalar(f"val/{k_}", v, step)
+            epoch += 1
 
-            if val_loader is not None and step % val_freq == 0:
-                evaluator = Evaluator(
-                    model_spec, state.params, heats, n_sample=n_sample,
-                    scale=opt.get("scale", 4), logger=logger, rescaling=is_rescaling,
-                    save_dir=os.path.join(paths.get("val_images", paths["log"]),
-                                          f"iter_{step}") if is_main_process() else None,
-                )
-                results = evaluator.run(val_loader, jax.random.fold_in(base_key, niter + step))
-                for k_, v in results.items():
-                    if isinstance(v, float):
-                        tb.add_scalar(f"val/{k_}", v, step)
-        epoch += 1
-
-    logger.info("saving the final model")
-    save_checkpoint(
-        os.path.join(paths["models"], "latest_G.ckpt"),
-        {"params": state.params, "step": step},
-        backend=ckpt_backend,
-    )
-    wait_for_saves()
-    tb.close()
-    logger.info("end of training")
-    return state
+        logger.info("saving the final model")
+        save_checkpoint(
+            os.path.join(paths["models"], "latest_G.ckpt"),
+            {"params": state.params, "step": step},
+            backend=ckpt_backend,
+        )
+        wait_for_saves()
+        tb.close()
+        logger.info("end of training")
+        return state
+    finally:
+        # main() is also invoked in-process (tests, notebooks): leaving the
+        # flag-setting handlers installed makes later forked children immune
+        # to terminate() (SIGTERM just sets a dead flag) and can hang exit
+        signal.signal(signal.SIGTERM, prev_handlers[0])
+        signal.signal(signal.SIGINT, prev_handlers[1])
 
 
 if __name__ == "__main__":

@@ -18,6 +18,7 @@ from __future__ import annotations
 import multiprocessing as mp
 import os
 import queue
+import signal
 import threading
 from typing import Iterator, Optional
 
@@ -154,6 +155,10 @@ class DataLoader:
         result_q = ctx.Queue(maxsize=2 * n_workers)
 
         def worker(wid: int):
+            # the fork inherits the parent's signal handlers; a flag-setting
+            # SIGTERM handler (e.g. the train CLI's preemption hook) would make
+            # the parent's terminate() a no-op and leak the worker
+            signal.signal(signal.SIGTERM, signal.SIG_DFL)
             try:
                 for j in range(wid, len(batches), n_workers):
                     items = [self.dataset[int(i)] for i in batches[j]]
@@ -191,6 +196,10 @@ class DataLoader:
                     p.terminate()
             for p in procs:
                 p.join(timeout=5)
+            for p in procs:  # decode workers never hold device state: safe to kill
+                if p.is_alive():
+                    p.kill()
+                    p.join(timeout=5)
 
 
 def create_dataloader(dataset, dataset_opt: dict, sampler=None, num_replicas: int = 1):

@@ -322,7 +322,14 @@ def test_rescaling_train_eval_e2e(tmp_path):
     }
     cfg = tmp_path / "train.yml"
     cfg.write_text(yaml.safe_dump(train_opt))
+    import signal
+
+    prev_handlers = (signal.getsignal(signal.SIGTERM), signal.getsignal(signal.SIGINT))
     state = train_cli.main(["--opt", str(cfg), "--cpu"])
+    # in-process main() must restore the preemption handlers it installed —
+    # leaving them poisons pool workers forked by later code in this process
+    assert signal.getsignal(signal.SIGTERM) is prev_handlers[0]
+    assert signal.getsignal(signal.SIGINT) is prev_handlers[1]
     assert int(state.step) == 4
     ckpt = os.path.join(str(tmp_path), "experiments", "resc_smoke", "models", "4_G.ckpt")
     assert os.path.exists(ckpt), ckpt

@@ -295,6 +295,34 @@ def test_pool_loader_early_close_cleans_up():
     assert len(mp.active_children()) == 0
 
 
+def test_pool_loader_cleans_up_under_foreign_sigterm_handler():
+    """Workers forked while a flag-setting SIGTERM handler is installed (e.g.
+    the train CLI's preemption hook ran earlier in this process) must still die
+    on close: they reset SIGTERM to SIG_DFL post-fork, and the parent escalates
+    to kill() if terminate() has no effect.  Regression: a leaked worker here
+    hangs interpreter exit in multiprocessing's atexit join."""
+    import multiprocessing as mp
+    import signal
+
+    from hcflow_tpu.data.datasets import create_dataset
+    from hcflow_tpu.data.loader import DataLoader
+
+    prev = signal.getsignal(signal.SIGTERM)
+    signal.signal(signal.SIGTERM, lambda s, f: None)
+    try:
+        ds = create_dataset({
+            "mode": "GT", "phase": "train", "scale": 4, "GT_size": 32,
+            "dataroot_GT": "/root/reference/datasets/example_face_8X/HR",
+        })
+        dl = DataLoader(ds, batch_size=1, num_workers=2)
+        it = iter(dl)
+        next(it)
+        it.close()
+        assert len(mp.active_children()) == 0
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+
+
 def test_channel_convert_color_option_parity():
     """``color:`` dataset option (reference GT_dataset.py:100-103 via
     codes/data/util.py:171-182): y/gray produce 1-channel outputs matching the
