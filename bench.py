@@ -117,6 +117,20 @@ def main():
 
     lr = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, LR_HW, LR_HW, 3))
     key = jax.random.PRNGKey(2)
+    try:
+        _measure_cascade(lr, key)
+    except Exception as e:  # noqa: BLE001 — even a total failure emits ONE JSON line
+        print(json.dumps({
+            "metric": "x4_sr_inverse_throughput", "value": None,
+            "unit": "MP/s/chip", "vs_baseline": None,
+            "error": f"all paths failed: {type(e).__name__}: {str(e)[:300]}",
+        }))
+        print(f"bench failed on every path: {e}", file=sys.stderr)
+        sys.stdout.flush()
+        os._exit(0)
+
+
+def _measure_cascade(lr, key):
     fallback_reason = None
     try:
         mps = measure_fori("bfloat16", lr, key, fused="all")
@@ -133,8 +147,21 @@ def main():
             )
             print(f"dispatch failed ({type(e2).__name__}); chains-only fori",
                   file=sys.stderr)
-            mps = measure_fori("bfloat16", lr, key)
-            method = "fori-chains-only"
+            try:
+                mps = measure_fori("bfloat16", lr, key)
+                method = "fori-chains-only"
+            except Exception as e3:  # noqa: BLE001 — last resort: no Pallas at all
+                # All three fused paths share the chain kernel; if THAT is what
+                # broke (e.g. a Mosaic regression), fall back to the pure-XLA
+                # serving path so the bench still emits a real number (measured
+                # in this cascade's position: ~1.6 MP/s, the round-1 figure).
+                fallback_reason += (
+                    f" | chains-only failed: {type(e3).__name__}: {str(e3)[:300]}"
+                )
+                print(f"chains-only failed ({type(e3).__name__}); pure-XLA fori",
+                      file=sys.stderr)
+                mps = measure_fori("bfloat16", lr, key, fused=False)
+                method = "fori-xla"
     out = {
         "metric": "x4_sr_inverse_throughput",
         "value": round(mps, 3),

@@ -49,8 +49,13 @@ _VLIMIT = int(_os.environ.get("HCFLOW_CHAIN_VLIMIT_MB", "0"))
 
 # conv1 as ONE stacked-tap matmul (K = 9*c1) instead of 9 skinny K=c1 dots:
 # lifts MXU contraction depth 9x at the cost of a 9-tap concat's value
-# liveness (9 * c1 * N f32, ~1.4 MB at the flagship shape).  Experimental
-# until measured on-chip (HCFLOW_CHAIN_C1STACK=1).
+# liveness (9 * c1 * N f32, ~1.4 MB at the flagship shape).
+# MEASURED round 4: DOES NOT COMPILE on current Mosaic — the 9 rolled bf16
+# taps carry distinct sublane/lane offsets from pltpu.roll, and the dim-0
+# concatenate fails with "Not implemented: result/input offset mismatch on
+# non-concat dimension" (full MLIR in BENCHMARKS.md round-4 sweep).  Would
+# need a per-tap layout canonicalization (copy through arithmetic), which
+# re-serializes the roll/dot overlap the kernel relies on.  Kept off.
 _C1STACK = _os.environ.get("HCFLOW_CHAIN_C1STACK", "0") == "1"
 
 # Per-cell VMEM ceiling for choosing the fused path; configs whose buffers would not

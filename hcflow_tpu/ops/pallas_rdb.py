@@ -77,11 +77,16 @@ _FIT16 = _os.environ.get("HCFLOW_RDB_FIT16", "1") == "1"
 
 # Grid-split granularity: "rdb" (default, grid=(B,3), one dense block per grid
 # cell — the round-3 shipped form) or "src" (grid=(B,3,5), one SOURCE FEATURE
-# per cell behind pl.when branches).  Rationale for "src": Mosaic's scoped-VMEM
-# high-water tracks the kernel BODY's value-stack liveness, and perf tracks the
-# pipelining headroom left under the 16 MB default (round-3 bisects, NOTES.md);
-# shrinking the body another ~5x frees headroom for deeper pipelining at the
-# same limit.  Experimental until measured on-chip.
+# per cell behind pl.when branches).  Rationale for "src" was: Mosaic's
+# scoped-VMEM high-water tracks the kernel BODY's value-stack liveness, and perf
+# tracks the pipelining headroom left under the 16 MB default (round-3 bisects,
+# NOTES.md); shrinking the body another ~5x frees headroom for deeper pipelining
+# at the same limit.  MEASURED on-chip round 4: NEGATIVE — the hypothesis
+# inverts at the flagship 80x80 shape.  Mosaic pipelines the smaller body
+# DEEPER and the scoped high-water RISES past the 16 MB default (the same
+# non-monotonicity kernel_compiles() exists for), so the AOT probe fails, the
+# L0 trunks fall back to XLA, and the bench drops to 4.73-4.79 MP/s (vs 10.44
+# "rdb"; /tmp/rdb_sweep.jsonl, BENCHMARKS.md round-4 sweep).  Kept for probes.
 _SPLIT = _os.environ.get("HCFLOW_RDB_SPLIT", "rdb")
 
 # Matmul row-chunk override for on-chip sweeps (0 = mode default: 32 in FIT16,

@@ -5,6 +5,13 @@ HCFLOW_CHAIN_C1STACK=1 on silicon; each sweep slot costs ~10 min of chip time
 (remote Pallas compiles), so every variant must be proven correct on the CPU
 interpreter first.  The flags are module globals read at pack/trace time —
 tests patch them and clear the lru-cached pallas_call builders around each run.
+
+Round-4 sweep verdicts (BENCHMARKS.md): both variants are measured on-chip
+NEGATIVES — `src` trips the scoped-VMEM non-monotonicity at 80x80 (probe
+fallback, 4.7 MP/s) and `C1STACK` hits an unimplemented Mosaic concat of
+offset-laden rolled taps.  These interpreter parity tests stay: they pin the
+variants' MATH so the negative results remain attributable to the backend,
+not to a silent algebra bug in the variant paths.
 """
 
 import jax
