@@ -13,10 +13,15 @@ Timing = an in-graph lax.fori_loop of 10 reverse passes, RNG key folded per
 iteration (cache-proof), with the FULL fused path (fused="all") — safe in loop
 contexts since the round-3 scoped-VMEM root-cause fix (ops/pallas_rdb.py
 docstring), and free of the ~28 ms/call host dispatch overhead, so it measures
-pure device throughput (the sustained-serving number).  Fallbacks if this path
-errors for any reason: dispatch-median with fused="all" (~6 MP/s incl. host
-overhead), then the chains-only fori loop (the round-2 methodology, ~4.6 MP/s).
-The "method" field records which path produced the number.
+pure device throughput (the sustained-serving number).  Fallback cascade if this
+path errors for any reason: dispatch-median with fused="all" (~6 MP/s incl. host
+overhead), then the chains-only fori loop (the round-2 methodology, ~4.6 MP/s),
+then a pure-XLA fori loop with no Pallas anywhere (fused=False, ~1.6 MP/s — the
+last resort if the chain kernel itself is what broke).  The "method" field
+records which path produced the number.  Even a total failure of all four stages
+emits ONE JSON line with "value": null and an "error" field carrying the full
+per-stage fallback chain — a driver run can never produce an empty artifact
+short of a backend hang (bounded separately by the backend_ready probe).
 
 vs_baseline is the ratio to BASELINE_MPS — a derived A100 estimate for the PyTorch
 reference on this exact workload (the reference publishes no perf numbers): 7.20
@@ -117,33 +122,37 @@ def main():
 
     lr = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, LR_HW, LR_HW, 3))
     key = jax.random.PRNGKey(2)
+    fallback_log = []  # shared with _measure_cascade so a total failure keeps the chain
     try:
-        _measure_cascade(lr, key)
+        _measure_cascade(lr, key, fallback_log)
     except Exception as e:  # noqa: BLE001 — even a total failure emits ONE JSON line
+        chain = " | ".join(fallback_log)
         print(json.dumps({
             "metric": "x4_sr_inverse_throughput", "value": None,
             "unit": "MP/s/chip", "vs_baseline": None,
-            "error": f"all paths failed: {type(e).__name__}: {str(e)[:300]}",
+            "error": (f"all paths failed: {type(e).__name__}: {str(e)[:300]}"
+                      + (f" | earlier stages: {chain}" if chain else "")),
         }))
         print(f"bench failed on every path: {e}", file=sys.stderr)
         sys.stdout.flush()
         os._exit(0)
 
 
-def _measure_cascade(lr, key):
+def _measure_cascade(lr, key, fallback_log=None):
+    fallback_log = [] if fallback_log is None else fallback_log
     fallback_reason = None
     try:
         mps = measure_fori("bfloat16", lr, key, fused="all")
         method = "fori-all"
     except Exception as e:  # noqa: BLE001 — fall back to dispatch, then chains-only
-        fallback_reason = f"fori-all failed: {type(e).__name__}: {str(e)[:300]}"
-        print(fallback_reason + "; dispatch fallback", file=sys.stderr)
+        fallback_log.append(f"fori-all failed: {type(e).__name__}: {str(e)[:300]}")
+        print(fallback_log[-1] + "; dispatch fallback", file=sys.stderr)
         try:
             mps = measure_dispatch("bfloat16", lr)
             method = "dispatch-median-all"
         except Exception as e2:  # noqa: BLE001
-            fallback_reason += (
-                f" | dispatch failed: {type(e2).__name__}: {str(e2)[:300]}"
+            fallback_log.append(
+                f"dispatch failed: {type(e2).__name__}: {str(e2)[:300]}"
             )
             print(f"dispatch failed ({type(e2).__name__}); chains-only fori",
                   file=sys.stderr)
@@ -155,13 +164,14 @@ def _measure_cascade(lr, key):
                 # broke (e.g. a Mosaic regression), fall back to the pure-XLA
                 # serving path so the bench still emits a real number (measured
                 # in this cascade's position: ~1.6 MP/s, the round-1 figure).
-                fallback_reason += (
-                    f" | chains-only failed: {type(e3).__name__}: {str(e3)[:300]}"
+                fallback_log.append(
+                    f"chains-only failed: {type(e3).__name__}: {str(e3)[:300]}"
                 )
                 print(f"chains-only failed ({type(e3).__name__}); pure-XLA fori",
                       file=sys.stderr)
                 mps = measure_fori("bfloat16", lr, key, fused=False)
                 method = "fori-xla"
+        fallback_reason = " | ".join(fallback_log)
     out = {
         "metric": "x4_sr_inverse_throughput",
         "value": round(mps, 3),

@@ -53,7 +53,8 @@ _VLIMIT = int(_os.environ.get("HCFLOW_CHAIN_VLIMIT_MB", "0"))
 # MEASURED round 4: DOES NOT COMPILE on current Mosaic — the 9 rolled bf16
 # taps carry distinct sublane/lane offsets from pltpu.roll, and the dim-0
 # concatenate fails with "Not implemented: result/input offset mismatch on
-# non-concat dimension" (full MLIR in BENCHMARKS.md round-4 sweep).  Would
+# non-concat dimension" (error string recorded in BENCHMARKS.md round-4
+# sweep).  Would
 # need a per-tap layout canonicalization (copy through arithmetic), which
 # re-serializes the roll/dot overlap the kernel relies on.  Kept off.
 _C1STACK = _os.environ.get("HCFLOW_CHAIN_C1STACK", "0") == "1"
