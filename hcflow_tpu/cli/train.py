@@ -210,6 +210,11 @@ def main(argv=None):
             f_apply = f_spec.apply
 
     if is_rescaling:
+        # optional fea/GAN heads ride the SAME single G backward and share the
+        # joint pass's fake_H (ref:HCFlow_Rescaling_model.py:237-262) — unlike
+        # the SR trainer's separate third pass
+        rescaling_heads = bool((fea_weight and f_apply is not None)
+                               or (gan_weight and d_spec is not None))
         joint_step = make_rescaling_step(
             model_spec,
             tx,
@@ -219,7 +224,12 @@ def main(argv=None):
             eps_std_reverse=train_opt.get("eps_std_reverse", 1.0),
             lr_criterion=pixel_criterion(train_opt.get("pixel_criterion_lr", "l2")),
             hr_criterion=pixel_criterion(train_opt.get("pixel_criterion_hr", "l1")),
+            gan_type=train_opt.get("gan_type", "gan"),
+            gan_weight=gan_weight, fea_weight=fea_weight,
+            fea_criterion=pixel_criterion(train_opt.get("feature_criterion", "l1")),
+            d_apply=d_spec.apply if d_spec else None, f_apply=f_apply,
         )
+        reverse_fn = jax.jit(lambda p, k, x, e: model_spec.reverse(p, k, x, e))
     else:
         nll_step = make_sr_nll_step(model_spec, tx, nll_weight)
         calibrate_fn = jax.jit(model_spec.calibrate)
@@ -401,7 +411,30 @@ def main(argv=None):
 
                 try:
                     if is_rescaling:
-                        state, metrics = joint_step(state, k, hr, lr)
+                        # G gated by D_update_ratio/D_init_iters exactly like SR
+                        # (ref:HCFlow_Rescaling_model.py:211); when G is skipped
+                        # the D trains on a no-grad reverse from the true LR
+                        # (ref:HCFlow_Rescaling_model.py:275-277)
+                        g_turn = (
+                            step % d_update_ratio == 0 and step > d_init_iters
+                        ) or not gan_weight
+                        fake_h = None
+                        if g_turn:
+                            if rescaling_heads:
+                                state, fake_h, metrics = joint_step(
+                                    state, k, hr, lr,
+                                    d_state.params if d_state else None, f_params,
+                                )
+                            else:
+                                state, metrics = joint_step(state, k, hr, lr)
+                        if gan_weight:
+                            if fake_h is None:
+                                fake_h = reverse_fn(
+                                    state.params, jax.random.fold_in(k, 2), lr,
+                                    train_opt.get("eps_std_reverse", 1.0),
+                                )
+                            d_state, m = d_step(d_state, hr, fake_h)
+                            metrics.update(m)
                     else:
                         # actnorm re-initialization window (NLL-only pretraining)
                         if step < act_norm_start and nll_only:

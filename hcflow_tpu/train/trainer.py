@@ -251,6 +251,12 @@ def make_rescaling_step(
     eps_std_reverse: float = 1.0,
     lr_criterion: Optional[Callable] = None,
     hr_criterion: Optional[Callable] = None,
+    gan_type: str = "gan",
+    gan_weight: float = 0.0,
+    fea_weight: float = 0.0,
+    fea_criterion: Optional[Callable] = None,
+    d_apply: Optional[Callable] = None,
+    f_apply: Optional[Callable] = None,
 ):
     """Joint fwd+inv update through STE quantization (HCFlow_Rescaling_model.py:204-264).
 
@@ -258,30 +264,76 @@ def make_rescaling_step(
          + w_hr * L1(reverse(quant(fake_LR)), HR)
     Each term is finite-guarded individually (replaced by 0), matching the reference's
     torch.isfinite gates at :223-228; remat on the inverse leg bounds peak memory.
+
+    Optional fea/GAN heads (HCFlow_Rescaling_model.py:237-262): unlike the SR
+    trainer's separate third pass, the reference's rescaling trainer adds the
+    perceptual and adversarial terms to the SAME single G backward, reusing the
+    joint pass's fake_H.  When either head is active the returned step has
+    signature ``step(state, key, hr, lr, d_params, f_params) ->
+    (state, fake_hr, metrics)`` so the caller can feed fake_hr to the D update;
+    otherwise the bare ``step(state, key, hr, lr) -> (state, metrics)``.
     """
     from ..ops.quant import quantize_ste
-    from .losses import l1, l2
+    from .losses import gan_loss, l1, l2
 
     lr_criterion = lr_criterion or l2
     hr_criterion = hr_criterion or l1
     reverse_remat = jax.checkpoint(lambda p, k, z, e: model.reverse(p, k, z, e))
+    has_heads = bool((fea_weight and f_apply is not None)
+                     or (gan_weight and d_apply is not None))
 
     def _finite(x):
         return jnp.where(jnp.isfinite(x), x, 0.0)
 
-    def step(state: TrainState, key, hr, lr):
+    def _joint_terms(p, key, hr, lr):
+        fake_lr, fake_zs = model.forward(p, hr)
+        l_lr = weight_lr * lr_criterion(fake_lr, lr)
+        z_flat = jnp.concatenate([z.reshape(z.shape[0], -1) for z in fake_zs], axis=1)
+        l_z = weight_z * jnp.mean(z_flat**2)
+        fake_lr_q = quantize_ste(fake_lr)
+        fake_hr = reverse_remat(p, key, fake_lr_q, eps_std_reverse)
+        l_hr = weight_hr * hr_criterion(fake_hr, hr)
+        total = _finite(l_lr) + _finite(l_z) + _finite(l_hr)
+        return total, fake_hr, {"l_g_lr": l_lr, "l_g_z": l_z, "l_g_hr": l_hr}
+
+    if not has_heads:
+
+        def step(state: TrainState, key, hr, lr):
+            def loss_fn(p):
+                total, _, metrics = _joint_terms(p, key, hr, lr)
+                return total, metrics
+
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            return _apply(tx, state, grads, advance_step=True), metrics
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def step_heads(state: TrainState, key, hr, lr, d_params, f_params):
         def loss_fn(p):
-            fake_lr, fake_zs = model.forward(p, hr)
-            l_lr = weight_lr * lr_criterion(fake_lr, lr)
-            z_flat = jnp.concatenate([z.reshape(z.shape[0], -1) for z in fake_zs], axis=1)
-            l_z = weight_z * jnp.mean(z_flat**2)
-            fake_lr_q = quantize_ste(fake_lr)
-            fake_hr = reverse_remat(p, key, fake_lr_q, eps_std_reverse)
-            l_hr = weight_hr * hr_criterion(fake_hr, hr)
-            total = _finite(l_lr) + _finite(l_z) + _finite(l_hr)
-            return total, {"l_g_lr": l_lr, "l_g_z": l_z, "l_g_hr": l_hr}
+            total, fake_hr, metrics = _joint_terms(p, key, hr, lr)
+            if fea_weight and f_apply is not None:
+                real_fea = jax.lax.stop_gradient(f_apply(f_params, hr))
+                fake_fea = f_apply(f_params, fake_hr)
+                l_fea = fea_weight * fea_criterion(fake_fea, real_fea)
+                total = total + _finite(l_fea)
+                metrics["l_g_fea"] = l_fea
+            if gan_weight and d_apply is not None:
+                pred_fake = d_apply(d_params, fake_hr)
+                if gan_type == "ragan":
+                    pred_real = jax.lax.stop_gradient(d_apply(d_params, hr))
+                    l_gan = (
+                        gan_loss("ragan", pred_real - jnp.mean(pred_fake), False)
+                        + gan_loss("ragan", pred_fake - jnp.mean(pred_real), True)
+                    ) / 2.0
+                else:
+                    l_gan = gan_loss(gan_type, pred_fake, True)
+                l_gan = gan_weight * l_gan
+                total = total + _finite(l_gan)
+                metrics["l_g_gan"] = l_gan
+            return total, (fake_hr, metrics)
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        return _apply(tx, state, grads, advance_step=True), metrics
+        (_, (fake_hr, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        return _apply(tx, state, grads, advance_step=True), fake_hr, metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step_heads, donate_argnums=(0,))

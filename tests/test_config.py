@@ -1,5 +1,9 @@
 """Config/checkpoint tests: reference YAML compatibility, retention policy."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.smoke
+
 import os
 
 import jax

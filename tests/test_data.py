@@ -1,5 +1,9 @@
 """Data-layer tests: MATLAB bicubic parity vs the reference, datasets, loader, metrics."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.smoke
+
 import os
 import sys
 import types

@@ -187,29 +187,54 @@ for i, (a, b) in enumerate(zip(oracle_nll, sharded_nll)):
     assert abs(a - b) <= 1e-4 * max(1.0, abs(a)), (i, a, b)
 print(f"rank{rank} TRAIN OK nll={sharded_nll}", flush=True)
 
-# --- multi-process checkpoint semantics: save on rank0 only, resume on BOTH
-# ranks to identical params (reference base_model.py save/load is rank0-gated
-# via is_main_process; resume broadcasts the same file to every rank).
+# --- multi-process checkpoint semantics.  Two backends, two idioms:
+#   pickle: save on rank0 only, resume on BOTH ranks to identical params
+#     (the reference's rank0-gated torch.save, base_model.py + is_main_process).
+#   orbax: the save is COLLECTIVE — every process calls save on the same path
+#     with the GLOBAL sharded arrays; orbax writes each host's addressable
+#     shards and the primary host finalizes the directory.  The reference's
+#     rank-0 gating maps to that primary-host finalization, NOT to skipping
+#     the call on other ranks (skipping would deadlock the internal sync).
+#     Restore is likewise collective and lands sharded arrays in place.
 from hcflow_tpu.parallel import is_main_process
 from hcflow_tpu.utils.checkpoint import save_checkpoint, load_checkpoint, wait_for_saves
 
+backend = os.environ.get("_CKPT_BACKEND", "pickle")
 ckpt_dir = os.environ["_CKPT_DIR"]
 ckpt_path = os.path.join(ckpt_dir, "mp_test.state")
-# addressable shards only -> numpy on each rank; rank0 holds the full
-# replicated view, so its save is the canonical global state
+# rank0 holds the full replicated view; its numpy-ified tree is the canonical
+# global state for the pickle path and the value oracle for both paths
 host_state = jax.tree.map(
     lambda x: np.asarray(jax.device_get(x)) if hasattr(x, "sharding") else np.asarray(x),
     st,
 )
-if is_main_process():
-    save_checkpoint(ckpt_path, {"params": host_state.params, "step": int(st.step)},
-                    backend=os.environ.get("_CKPT_BACKEND", "pickle"))
-    wait_for_saves()
-distributed.global_state.client.wait_at_barrier("ckpt_saved", 600_000)
-assert os.path.exists(ckpt_path), ckpt_path  # both ranks see the rank0 save
-loaded = load_checkpoint(ckpt_path, like={"params": host_state.params, "step": 0})
-for a, b in zip(jax.tree.leaves(loaded["params"]), jax.tree.leaves(host_state.params)):
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+if backend == "orbax":
+    save_checkpoint(
+        ckpt_path, {"params": st.params, "step": np.int32(int(st.step))},
+        backend="orbax",
+    )
+    wait_for_saves()  # all ranks: async finalize includes a cross-host sync
+    distributed.global_state.client.wait_at_barrier("ckpt_saved", 600_000)
+    assert os.path.isdir(ckpt_path), ckpt_path  # orbax checkpoints are directories
+    like = {"params": st.params, "step": np.int32(0)}
+    loaded = load_checkpoint(ckpt_path, like=like)
+    # restored leaves are jax.Arrays carrying the ORIGINAL global shardings
+    for a, b in zip(jax.tree.leaves(loaded["params"]), jax.tree.leaves(st.params)):
+        assert hasattr(a, "sharding"), type(a)
+        assert a.sharding.is_equivalent_to(b.sharding, a.ndim), (a.sharding, b.sharding)
+    for a, b in zip(jax.tree.leaves(loaded["params"]),
+                    jax.tree.leaves(host_state.params)):
+        np.testing.assert_array_equal(np.asarray(jax.device_get(a)), np.asarray(b))
+else:
+    if is_main_process():
+        save_checkpoint(ckpt_path, {"params": host_state.params, "step": int(st.step)},
+                        backend=backend)
+        wait_for_saves()
+    distributed.global_state.client.wait_at_barrier("ckpt_saved", 600_000)
+    assert os.path.exists(ckpt_path), ckpt_path  # both ranks see the rank0 save
+    loaded = load_checkpoint(ckpt_path, like={"params": host_state.params, "step": 0})
+    for a, b in zip(jax.tree.leaves(loaded["params"]), jax.tree.leaves(host_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 assert int(loaded["step"]) == int(st.step)
 # resumed params drive one more sharded step on both ranks (true resume);
 # AOT-compile then barrier (compile-time skew vs gloo rendezvous, as above)
@@ -228,10 +253,13 @@ distributed.global_state.client.wait_at_barrier("done", 600_000)
 
 
 @pytest.mark.slow
-def test_two_process_sharded_train_step(tmp_path):
+@pytest.mark.parametrize("backend", ["pickle", "orbax"])
+def test_two_process_sharded_train_step(tmp_path, backend):
     """The FULL NLL train step on a global 2-process mesh with per-rank
     EnlargedSampler shards: loss trajectory (2 steps, optimizer update included)
-    must match the replicated single-computation oracle.  Reference semantics:
+    must match the replicated single-computation oracle, and the checkpoint
+    round-trip works under BOTH backends (pickle rank0-gated; orbax collective
+    sharded save/restore — VERDICT r4 #5).  Reference semantics:
     DDP training with DistIterSampler shards (train_HCFlow.py:49-59,131)."""
     port = socket.socket()
     port.bind(("127.0.0.1", 0))
@@ -253,7 +281,7 @@ def test_two_process_sharded_train_step(tmp_path):
             JAX_PROCESS_ID=str(rank),
             _REPO=repo,
             _CKPT_DIR=str(ckpt_dir),
-            _CKPT_BACKEND="pickle",
+            _CKPT_BACKEND=backend,
         )
         flags = " ".join(
             f for f in env.get("XLA_FLAGS", "").split()

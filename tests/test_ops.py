@@ -1,5 +1,9 @@
 """Unit tests for the invertible-op library: round-trips and logdet vs autodiff."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.smoke
+
 import jax
 import jax.numpy as jnp
 import numpy as np

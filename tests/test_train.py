@@ -37,6 +37,7 @@ def tiny_sr_model():
     )
 
 
+@pytest.mark.smoke
 def test_schedules():
     s = multistep_restart(1.0, [10, 20], gamma=0.5)
     assert float(s(0)) == 1.0
@@ -52,6 +53,7 @@ def test_schedules():
     assert schedule_from_opt(TOPT) is not None
 
 
+@pytest.mark.smoke
 def test_clear_state_restart_steps():
     """clear_state semantics (reference lr_scheduler.py:9-24): optimizer moments
     reset at restart+1; off by default."""
@@ -85,6 +87,7 @@ def test_clear_state_restart_steps():
                                   np.asarray(state.params["w"]))
 
 
+@pytest.mark.smoke
 def test_schedule_is_iteration_indexed():
     """The LR is driven by TrainState.step, not optax's internal update count:
     (a) multiple tx.update calls per iteration (HCFlow+/++: 2-3 G passes) do NOT
@@ -192,6 +195,7 @@ def test_patchgan_discriminator():
     assert int(dstate.step) == 1
 
 
+@pytest.mark.smoke
 def test_patchgan_config_wiring():
     """which_model_D: PatchGANDiscriminator selects the PatchGAN spec with
     network_D in_nc/ndf/n_layers (ref networks.py:52-53)."""
@@ -244,6 +248,52 @@ def test_rescaling_joint_step():
     assert int(state.step) == 1
 
 
+@pytest.mark.slow
+def test_rescaling_plusplus_iteration():
+    """Rescaling with fea/GAN heads (ref:HCFlow_Rescaling_model.py:237-297):
+    ONE G backward carrying joint + fea + gan terms (fake_H shared), then the
+    D update on the same fake_H — unlike SR's separate third pass."""
+    model = HCFlowRescalingSpec.default_x4(
+        K=(3, 3), after_splitoff=(1, 1), rrdb_nb=(1, 1), rrdb_nf=8, rrdb_gc=4,
+        hidden_channels=8, so_hidden_channels=8,
+    )
+    # numpy masters: the jitted steps donate their state arg, so each
+    # init_state(p, tx) call must build fresh device copies
+    p = jax.tree.map(np.asarray, model.init(jax.random.PRNGKey(7)))
+    tx = make_optimizer(TOPT, schedule_from_opt(TOPT))
+    state = init_state(p, tx)
+    dspec = VGGDiscriminatorSpec(input_size=32)
+    dtx = make_d_optimizer({"lr_D": 5e-5}, schedule_from_opt({"lr_G": 5e-5}))
+    dstate = init_state(dspec.init(jax.random.PRNGKey(5)), dtx)
+    fspec = VGG19FeatureSpec()
+    fp = fspec.init(jax.random.PRNGKey(6))
+    hr = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    lr = jax.random.uniform(jax.random.PRNGKey(3), (2, 8, 8, 3))
+
+    step = make_rescaling_step(
+        model, tx, 5e-2, 1e-5, 1.0, gan_type="ragan", gan_weight=0.5,
+        fea_weight=0.05, fea_criterion=l1, d_apply=dspec.apply,
+        f_apply=fspec.apply,
+    )
+    state, fake_h, m = step(state, jax.random.PRNGKey(9), hr, lr, dstate.params, fp)
+    assert fake_h.shape == hr.shape
+    assert {"l_g_lr", "l_g_z", "l_g_hr", "l_g_fea", "l_g_gan"} <= set(m)
+    dstate, md = make_d_step(dspec.apply, dtx, "ragan")(dstate, hr, fake_h)
+    for v in {**m, **md}.values():
+        assert jnp.isfinite(v), (m, md)
+    assert int(state.step) == 1 and int(dstate.step) == 1
+    # the heads must contribute to the G gradient: compare against the
+    # head-free joint step from the same initial state — params should differ
+    state2, _ = make_rescaling_step(model, tx, 5e-2, 1e-5, 1.0)(
+        init_state(p, tx), jax.random.PRNGKey(9), hr, lr)
+    diffs = [
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params))
+    ]
+    assert max(diffs) > 0, "fea/GAN heads had no effect on the update"
+
+
+@pytest.mark.smoke
 def test_gan_loss_variants():
     from hcflow_tpu.train.losses import gan_loss, gradient_penalty
 
@@ -264,6 +314,7 @@ def test_gan_loss_variants():
     np.testing.assert_allclose(float(gp), float(want), rtol=1e-5)
 
 
+@pytest.mark.smoke
 def test_d_step_all_gan_types():
     from hcflow_tpu.models.discriminators import PatchGANDiscriminatorSpec
     from hcflow_tpu.train.trainer import make_d_optimizer, make_d_step
