@@ -93,6 +93,18 @@ _SPLIT = _os.environ.get("HCFLOW_RDB_SPLIT", "rdb")
 # MM_CHUNK otherwise).
 _MM_ENV = int(_os.environ.get("HCFLOW_RDB_MM", "0"))
 
+# Resident-trunk mode (round-5 traffic restructure, VERDICT r4 #2): ONE
+# pallas_call per RRDB trunk, grid=(B, nb*3) — residual carries stay in VMEM
+# scratch across ALL the trunk's RRDBs (the per-RRDB form round-trips x through
+# HBM between RRDBs: 2 DMAs x 26 MB each boundary at the flagship shape) and
+# the 2*(nb-1) pallas_call boundaries per trunk disappear.  Weights stream one
+# dense-block slice per grid step via grid-blocked BlockSpecs (auto
+# double-buffered, ~0.5 MB/block — re-read per batch element, but at ~160 MB
+# per flagship trunk call that is ~0.2 ms of fully-overlapped DMA).  The kernel
+# BODY is identical to the per-RRDB form, so the scoped-VMEM footprint should
+# match FIT16; gated by its own AOT compile probe.
+_TRUNK = _os.environ.get("HCFLOW_RDB_TRUNK", "0") == "1"
+
 # Python-side gate: shapes whose estimate exceeds this fall back to the XLA
 # trunk.  Calibration: vmem_estimate() returns 19.1 MB at the flagship
 # 80x80/nf64 bf16 shape, whose measured Mosaic requirement in FIT16 mode is
@@ -357,6 +369,166 @@ def _make_kernel_src(spec: RDBSpec):
     return kernel
 
 
+def _make_kernel_trunk(spec: RDBSpec, nbl: int):
+    """Whole-trunk kernel: grid=(B, nbl*3), one dense block per cell, carries
+    resident in scratch across ALL RRDBs of the trunk.  Weights arrive as
+    grid-blocked refs (one dense-block slice per cell, streamed+double-buffered
+    by the pipeline), so the body needs no dynamic RDB indexing at all."""
+    nf, gc, H, W, N, Np = spec.nf, spec.gc, spec.H, spec.W, spec.N, spec.Np
+    rows = spec.rows
+    nd = spec.net_dtype
+    slices = _src_slices(nf, gc)
+    mm = _MM_ENV or (32 if _FIT16 else MM_CHUNK)
+    last = nbl * 3 - 1
+
+    def kernel(*refs):
+        xin = refs[0]  # HBM (B, nf, Np) f32
+        wrefs = {k: r for k, r in zip(_PACK_KEYS, refs[1 : 1 + len(_PACK_KEYS)])}
+        xout, xbuf, xorig, xt, acc, sem = refs[1 + len(_PACK_KEYS) :]
+        b = pl.program_id(0)
+        j = pl.program_id(1)  # dense-block index over the whole trunk, sequential
+        jm = jax.lax.rem(j, 3)  # position within the current RRDB
+
+        n_idx = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
+        col, row = n_idx % W, n_idx // W
+        masks = []
+        for t in range(9):
+            dy, dx = t // 3 - 1, t % 3 - 1
+            m = (
+                (n_idx < N)
+                & (col + dx >= 0) & (col + dx < W)
+                & (row + dy >= 0) & (row + dy < H)
+            )
+            masks.append(m.astype(jnp.float32))
+
+        @pl.when(j == 0)
+        def _load():
+            pltpu.make_async_copy(xin.at[b], xbuf, sem).start()
+            pltpu.make_async_copy(xin.at[b], xbuf, sem).wait()
+
+        @pl.when(jm == 0)
+        def _rrdb_begin():
+            # xorig = this RRDB's input (the RRDB residual base); runs after
+            # _load at j==0, and on the in-VMEM carry at every later RRDB
+            xorig[...] = xbuf[...].astype(xorig.dtype)
+
+        for r0 in range(0, rows, mm):
+            r1 = min(r0 + mm, rows)
+            acc[r0:r1, :] = jnp.broadcast_to(
+                wrefs["b"][0, 0, r0:r1][:, None], (r1 - r0, Np)
+            )
+        for s_i, (_start, cin, off, rows_s) in enumerate(slices):
+            src_v = (xbuf[...] if s_i == 0 else xt[...].astype(jnp.float32))
+            for g in range(3):
+                taps = []
+                for i in range(3):
+                    t = 3 * g + i
+                    dy, dx = t // 3 - 1, t % 3 - 1
+                    offr = dy * W + dx
+                    v = pltpu.roll(src_v, (-offr) % Np, 1) if offr else src_v
+                    taps.append((v * masks[t]).astype(nd))
+                sv = jnp.concatenate(taps, axis=0)
+                wg = wrefs[f"w{s_i}"]
+                for r0 in range(0, rows_s, mm):
+                    r1 = min(r0 + mm, rows_s)
+                    acc[off + r0 : off + r1, :] += _dot(wg[0, g, r0:r1, :], sv, nd)
+            if s_i < 4:
+                v = acc[s_i * gc : (s_i + 1) * gc, :]
+                xt[...] = jnp.where(v > 0, v, 0.2 * v).astype(xt.dtype)
+        xbuf[...] = acc[4 * gc :, :] * 0.2 + xbuf[...]
+
+        @pl.when(jm == 2)
+        def _rrdb_end():
+            xbuf[...] = xbuf[...] * 0.2 + xorig[...].astype(jnp.float32)
+
+        @pl.when(j == last)
+        def _store():
+            pltpu.make_async_copy(xbuf, xout.at[b], sem).start()
+            pltpu.make_async_copy(xbuf, xout.at[b], sem).wait()
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call_trunk(spec: RDBSpec, B: int, nbl: int, interpret: bool):
+    nd = spec.net_dtype
+    Np, nf, gc = spec.Np, spec.nf, spec.gc
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+    for _s, (_start, cin, _off, rows_s) in enumerate(_src_slices(nf, gc)):
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 3, rows_s, 3 * cin), lambda b, j: (j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    in_specs.append(
+        pl.BlockSpec((1, 1, spec.rows), lambda b, j: (j, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    scratch = [
+        pltpu.VMEM((nf, Np), jnp.float32),  # xbuf (working feature, f32 carry)
+        pltpu.VMEM((nf, Np), nd if _FIT16 else jnp.float32),  # xorig (RRDB base)
+        pltpu.VMEM((gc, Np), nd if _FIT16 else jnp.float32),  # xt
+        pltpu.VMEM((spec.rows, Np), jnp.float32),  # acc (f32 partial sums)
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    srcs_k = 9 * (nf + 4 * gc)
+    return pl.pallas_call(
+        _make_kernel_trunk(spec, nbl),
+        grid=(B, nbl * 3),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct((B, nf, Np), jnp.float32),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=nbl * 3 * 2 * spec.N * srcs_k * spec.rows // 2,
+            bytes_accessed=2 * B * nf * Np * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+
+_TRUNK_PROBE_CACHE: dict = {}
+
+
+def trunk_kernel_compiles(spec: RDBSpec, nbl: int) -> bool:
+    """AOT compile probe for the resident-trunk kernel (same rationale as
+    kernel_compiles: scoped-VMEM demand is not predictable in closed form)."""
+    if jax.default_backend() != "tpu":
+        return True
+    key = (spec, nbl)
+    if key in _TRUNK_PROBE_CACHE:
+        return _TRUNK_PROBE_CACHE[key]
+    nd = spec.net_dtype
+    args = [jax.ShapeDtypeStruct((1, spec.nf, spec.Np), jnp.float32)]
+    for _s, (_start, cin, _off, rows_s) in enumerate(_src_slices(spec.nf, spec.gc)):
+        args.append(jax.ShapeDtypeStruct((nbl * 3, 3, rows_s, 3 * cin), nd))
+    args.append(jax.ShapeDtypeStruct((nbl * 3, 1, spec.rows), jnp.float32))
+    import logging
+
+    log = logging.getLogger("base")
+    try:
+        jax.jit(_build_call_trunk(spec, 1, nbl, False)).lower(*args).compile()
+        _TRUNK_PROBE_CACHE[key] = True
+        return True
+    except Exception as e:  # noqa: BLE001 — classify; fall back either way
+        msg = str(e).lower()
+        if "vmem" in msg or "scoped" in msg:
+            _TRUNK_PROBE_CACHE[key] = False
+            log.warning(
+                f"resident-trunk kernel exceeds scoped-VMEM at {spec.H}x{spec.W} "
+                f"(nf={spec.nf}, gc={spec.gc}, nb={nbl}); using per-RRDB calls"
+            )
+        else:
+            log.warning(
+                f"resident-trunk compile probe failed at {spec.H}x{spec.W} with "
+                f"a non-VMEM error ({type(e).__name__}); using per-RRDB calls "
+                "for this trace (will re-probe on the next one)"
+            )
+        return False
+
+
 @functools.lru_cache(maxsize=None)
 def _build_call(spec: RDBSpec, B: int, interpret: bool):
     nd = spec.net_dtype
@@ -471,18 +643,35 @@ def rrdb_apply(spec: RDBSpec, packed: dict, x_cn: jnp.ndarray,
     return _build_call(spec, B, interpret)(*args)
 
 
-def pack_rrdb_trunk(spec: RDBSpec, trunk_stacked: dict) -> list:
-    """Pack an init_rrdb_trunk stack (leading nb axis) into per-RRDB kernel params."""
+def pack_rrdb_trunk(spec: RDBSpec, trunk_stacked: dict):
+    """Pack an init_rrdb_trunk stack (leading nb axis) into kernel params.
+
+    Per-RRDB list by default; in resident-trunk mode (HCFLOW_RDB_TRUNK=1) the
+    per-RRDB packs are concatenated over the RDB axis into one stacked dict
+    (leading dim nb*3) consumed by the whole-trunk kernel's streamed BlockSpecs.
+    """
     nb = jax.tree.leaves(trunk_stacked)[0].shape[0]
-    return [
+    packs = [
         pack_rrdb(spec, jax.tree.map(lambda a: a[i], trunk_stacked))
         for i in range(nb)
     ]
+    if _TRUNK:
+        return {k: jnp.concatenate([p[k] for p in packs], axis=0) for k in _PACK_KEYS}
+    return packs
 
 
-def trunk_apply(spec: RDBSpec, packed_list: list, x_nhwc: jnp.ndarray,
+def trunk_apply(spec: RDBSpec, packed, x_nhwc: jnp.ndarray,
                 interpret: Optional[bool] = None) -> jnp.ndarray:
-    """Fused RRDB trunk on NHWC input: one layout transpose in, one out."""
+    """Fused RRDB trunk on NHWC input: one layout transpose in, one out.
+
+    ``packed`` is either the per-RRDB list (one pallas_call per RRDB, x
+    round-trips HBM between calls) or the resident-trunk stacked dict (one
+    pallas_call for the whole trunk, carries never leave VMEM).  The stacked
+    form falls back to per-RRDB slices if the trunk kernel fails its AOT
+    compile probe on this shape.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     B, H, W, C = x_nhwc.shape
     in_dtype = x_nhwc.dtype
     x = jnp.transpose(x_nhwc.astype(jnp.float32), (0, 3, 1, 2)).reshape(
@@ -490,7 +679,19 @@ def trunk_apply(spec: RDBSpec, packed_list: list, x_nhwc: jnp.ndarray,
     )
     if spec.Np != spec.N:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, spec.Np - spec.N)))
-    for packed in packed_list:
-        x = rrdb_apply(spec, packed, x, interpret)
+    if isinstance(packed, dict):  # resident-trunk mode
+        nbl = packed["b"].shape[0] // 3
+        if interpret or trunk_kernel_compiles(spec, nbl):
+            args = [x] + [packed[k] for k in _PACK_KEYS]
+            x = _build_call_trunk(spec, B, nbl, interpret)(*args)
+            x = x[:, :, : spec.N]
+            return jnp.transpose(x.reshape(B, C, H, W), (0, 2, 3, 1)).astype(in_dtype)
+        # probe failed: slice the stacked pack back into per-RRDB calls
+        packed = [
+            {k: packed[k][3 * i : 3 * (i + 1)] for k in _PACK_KEYS}
+            for i in range(nbl)
+        ]
+    for p in packed:
+        x = rrdb_apply(spec, p, x, interpret)
     x = x[:, :, : spec.N]
     return jnp.transpose(x.reshape(B, C, H, W), (0, 2, 3, 1)).astype(in_dtype)

@@ -62,6 +62,32 @@ def test_rdb_variant_matches_xla(monkeypatch, fresh_builds, split, mm):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("nb", [1, 3])
+def test_rdb_resident_trunk_matches_xla(monkeypatch, fresh_builds, nb):
+    """Resident-trunk mode (HCFLOW_RDB_TRUNK=1): one pallas_call per trunk with
+    carries in scratch across all RRDBs + streamed weight blocks must match the
+    XLA trunk oracle; the stacked pack must also slice back to per-RRDB parity
+    (the probe-failure fallback path)."""
+    monkeypatch.setattr(pr, "_TRUNK", True)
+    pr._build_call_trunk.cache_clear()
+    nf, gc, H, W = 64, 32, 5, 7
+    trunk = _randomized_trunk(nb, nf, gc)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, H, W, nf))
+    ref = nets.apply_rrdb_trunk(trunk, x)
+    spec = pr.RDBSpec(nf=nf, gc=gc, H=H, W=W)
+    packed = pr.pack_rrdb_trunk(spec, trunk)
+    assert isinstance(packed, dict) and packed["b"].shape[0] == nb * 3
+    out = pr.trunk_apply(spec, packed, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    # fallback path: per-RRDB slices of the stacked pack
+    sliced = [
+        {k: packed[k][3 * i : 3 * (i + 1)] for k in pr._PACK_KEYS} for i in range(nb)
+    ]
+    out2 = pr.trunk_apply(spec, sliced, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=2e-5, atol=2e-5)
+    pr._build_call_trunk.cache_clear()
+
+
 @pytest.mark.parametrize("cond", [False, True])
 def test_chain_c1stack_matches_xla(monkeypatch, fresh_builds, cond):
     monkeypatch.setattr(pc, "_C1STACK", True)
