@@ -336,8 +336,12 @@ def main(argv=None):
                 },
                 backend=ckpt_backend,
             )
-            prune_checkpoints(paths["models"], "_G.ckpt", keep=2, keep_period=5000)
-            prune_checkpoints(paths["training_state"], ".state", keep=2, keep_period=5000)
+            # reference hardcodes keep-2 + every-5000 (base_model.py:82-94);
+            # config override lets curve campaigns retain intermediate ckpts
+            keep = int(opt_get(opt, ["logger", "checkpoint_keep"], 2) or 2)
+            period = int(opt_get(opt, ["logger", "checkpoint_keep_period"], 5000) or 0)
+            prune_checkpoints(paths["models"], "_G.ckpt", keep=keep, keep_period=period)
+            prune_checkpoints(paths["training_state"], ".state", keep=keep, keep_period=period)
 
         def emergency_save(tag_step):
             """Best-effort save after a device failure: the device->host transfer

@@ -103,3 +103,29 @@ def test_train_device_failure_saves_and_exits_tempfail(tmp_path, monkeypatch):
     monkeypatch.setattr(train_cli, "make_sr_nll_step", bug_make)
     with pytest.raises(ValueError, match="genuine program bug"):
         train_cli.main(["--opt", str(cfg), "--cpu"])
+
+
+@pytest.mark.slow
+def test_checkpoint_retention_config_override(tmp_path):
+    """logger.checkpoint_keep/_keep_period override the reference's hardcoded
+    keep-2 + every-5000 retention (base_model.py:82-94) so curve campaigns
+    (configs/train_rescaling_x4_curve_onchip.yml) retain intermediate ckpts."""
+    with open("configs/smoke_train.yml") as f:
+        opt = yaml.safe_load(f)
+    opt["name"] = "smoke_keepall"
+    opt["path"]["root"] = str(tmp_path)
+    opt["train"]["niter"] = 4
+    opt["logger"]["save_checkpoint_freq"] = 1
+    opt["logger"]["checkpoint_keep"] = 4
+    opt["logger"]["checkpoint_keep_period"] = 0
+    opt["train"]["val_freq"] = 10_000
+    opt["network_G"]["act_norm_start_step"] = 1
+    cfg = tmp_path / "opt.yml"
+    cfg.write_text(yaml.safe_dump(opt))
+    train_cli.main(["--opt", str(cfg), "--cpu"])
+    models = os.path.join(str(tmp_path), "experiments", "smoke_keepall", "models")
+    kept = sorted(
+        f for f in os.listdir(models)
+        if f.endswith("_G.ckpt") and not f.startswith("latest")
+    )
+    assert kept == ["1_G.ckpt", "2_G.ckpt", "3_G.ckpt", "4_G.ckpt"], kept
