@@ -76,15 +76,28 @@ touch /tmp/r5_benches.done
 # --- Stage B: x8 campaign (VERDICT #1) ---
 wait_ready || exit 75
 run_stage x8_nll 7200 python -m hcflow_tpu.cli.train --opt configs/train_faces_x8_nll_onchip.yml
-if [ -e experiments/faces_x8_nll/models/4000_G.ckpt ]; then
-  run_stage x8_nll_eval 1800 python -m hcflow_tpu.cli.test --opt configs/test_faces_x8_nll_onchip.yml
+# Proceed to +stab from the NEWEST NLL ckpt (>=3000) even if the NLL stage was
+# cut at its budget before 4000 — the +stab fine-tune is the flagship
+# deliverable (VERDICT r4 #1); a 3000/3500-iter NLL base beats no stab at all.
+NEWEST=$(ls experiments/faces_x8_nll/models/*_G.ckpt 2>/dev/null \
+         | sed 's#.*/##; s/_G.ckpt//' | grep -v latest | sort -n | tail -1)
+if [ -n "${NEWEST:-}" ] && [ "$NEWEST" -ge 3000 ]; then
+  NLL_EVAL_OPT=configs/test_faces_x8_nll_onchip.yml
+  STAB_OPT=configs/train_faces_x8_plus_stab_onchip.yml
+  if [ "$NEWEST" != 4000 ]; then
+    sed "s#models/4000_G.ckpt#models/${NEWEST}_G.ckpt#" "$NLL_EVAL_OPT" > /tmp/x8_nll_eval_opt.yml
+    sed "s#models/4000_G.ckpt#models/${NEWEST}_G.ckpt#" "$STAB_OPT" > /tmp/x8_stab_opt.yml
+    NLL_EVAL_OPT=/tmp/x8_nll_eval_opt.yml
+    STAB_OPT=/tmp/x8_stab_opt.yml
+    log "x8 NLL stopped at $NEWEST; substituting into eval + stab configs"
+  fi
+  run_stage x8_nll_eval 1800 python -m hcflow_tpu.cli.test --opt "$NLL_EVAL_OPT"
   wait_ready || exit 75
-  run_stage x8_stab 7200 python -m hcflow_tpu.cli.train --opt configs/train_faces_x8_plus_stab_onchip.yml
+  run_stage x8_stab 7200 python -m hcflow_tpu.cli.train --opt "$STAB_OPT"
   run_stage x8_stab_eval 1800 python -m hcflow_tpu.cli.test --opt configs/test_faces_x8_stab_onchip.yml
   touch /tmp/r5_x8.done
 else
-  log "x8 NLL did not reach 4000; evaluating newest ckpt instead"
-  run_stage x8_nll_eval 1800 python -m hcflow_tpu.cli.test --opt configs/test_faces_x8_nll_onchip.yml
+  log "x8 NLL has no ckpt >= 3000 (newest: ${NEWEST:-none}); skipping stab"
 fi
 
 # --- Stage C: rescaling scaling curve (VERDICT #7) ---
