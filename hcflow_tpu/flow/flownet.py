@@ -176,6 +176,20 @@ class FlowNetSpec:
             return z, logdet
         main_params = level_params["main"]
         if lv.alternate_lrvsothers:
+            packed3s = level_params.get("main3s_fused")
+            if packed3s is not None:
+                from ..ops import pallas_chain3s
+
+                cs = pallas_chain3s.Chain3sSpec(
+                    K=lv.n_main, c=lv.channels, gc=self.hidden_channels,
+                    H=z.shape[1], W=z.shape[2], compute_dtype=self.compute_dtype,
+                )
+                if (
+                    cs.vmem_estimate() <= pallas_chain3s.VMEM_BUDGET
+                    and pallas_chain3s.chain_compiles(cs)
+                ):
+                    z, ld = pallas_chain3s.inverse_chain(cs, packed3s, z)
+                    return z, (logdet + ld if logdet is not None else None)
             for k in reversed(range(lv.n_main)):
                 z, logdet = lv.main_step_spec(k).inverse(main_params[k], z, None, logdet)
             return z, logdet
@@ -310,6 +324,17 @@ class FlowNetSpec:
             elif lv.n_main > 0 and "invconv" in main:
                 main = stack._augment_invconv(main, need_inv=True, need_logdet=True)
             lp["main"] = main
+            if fused and lv.alternate_lrvsothers:
+                from ..ops import pallas_chain3s
+
+                if pallas_chain3s.ENABLED and pallas_chain3s.supported(
+                    lv, self.hidden_channels
+                ):
+                    cs3 = pallas_chain3s.Chain3sSpec(
+                        K=lv.n_main, c=lv.channels, gc=self.hidden_channels,
+                        H=0, W=0, compute_dtype=self.compute_dtype,
+                    )
+                    lp["main3s_fused"] = pallas_chain3s.pack_inverse_chain3s(cs3, main)
             if (
                 fused
                 and lv.n_main > 0
