@@ -71,6 +71,10 @@ run_stage bench_trunk 1800 env HCFLOW_RDB_TRUNK=1 python bench.py
 cp /tmp/r5_bench_trunk.log /tmp/r5_bench_trunk.json 2>/dev/null
 run_stage bench_rescaling 1800 python tools/bench_rescaling.py
 cp /tmp/r5_bench_rescaling.log /tmp/r5_bench_rescaling.json 2>/dev/null
+# A/B: fused Affine3shift/DenseBlock main-chain kernel (HCFLOW_CHAIN3S=1,
+# AOT-probed with XLA fallback; bench_rescaling itself also falls back)
+run_stage bench_rescaling3s 1800 env HCFLOW_CHAIN3S=1 python tools/bench_rescaling.py
+cp /tmp/r5_bench_rescaling3s.log /tmp/r5_bench_rescaling3s.json 2>/dev/null
 touch /tmp/r5_benches.done
 
 # --- Stage B: x8 campaign (VERDICT #1) ---
